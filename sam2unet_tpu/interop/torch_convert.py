@@ -1,0 +1,214 @@
+"""Convert PyTorch checkpoints into this framework's parameter pytrees.
+
+Two source formats are supported, matching the reference's loaders:
+  - Official SAM2 checkpoints (`sam2_hiera_*.pt`, a dict with a "model" key,
+    build_sam.py:81) — only the `image_encoder.trunk.*` keys are consumed,
+    exactly what SAM2UNet keeps (SAM2UNet.py:144).
+  - Trained SAM2-UNet checkpoints (the fork's `.pth` state dicts, whose
+    trunk keys carry the Adapter wrapper prefix `encoder.blocks.N.block.*`,
+    SAM2UNet.py:148-151).
+
+Conversion is strict (build_sam.py:79-89 semantics): any missing or
+unexpected key raises. Tensor layout transforms:
+  torch Linear (O, I)        -> flax Dense kernel (I, O)
+  torch Conv2d (O, I, kh, kw) -> flax Conv kernel (kh, kw, I, O)
+  torch BN weight/bias        -> flax scale/bias; running_* -> batch_stats
+  pos embeds (1, C, H, W)     -> (1, H, W, C)
+
+Loading .pt files does NOT require torch: the zip/pickle payload is decoded
+with a minimal reader (interop/pt_reader.py) so the framework has no torch
+dependency; torch is used in tests only.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+
+def _to_flax_path(key: str) -> tuple[str, ...] | None:
+    """Map a torch state-dict key (minus the trailing .weight etc.) to our
+    flax module path. Returns None for keys to skip."""
+    parts = key.split(".")
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == "patch_embed" and i + 1 < len(parts) and parts[i + 1] == "proj":
+            out.append("patch_embed_proj")
+            i += 2
+            continue
+        if p == "blocks":
+            out.append(f"blocks_{parts[i + 1]}")
+            i += 2
+            continue
+        if p in ("mlp", "prompt_learn", "double_conv"):
+            name = "layers" if p == "double_conv" else p
+            if p != "double_conv":
+                out.append(p)
+            # numeric indices below become layers_{j}
+            if i + 1 < len(parts) and parts[i + 1].isdigit():
+                out.append(f"layers_{parts[i + 1]}")
+                i += 2
+                continue
+            i += 1
+            continue
+        if re.fullmatch(r"branch[0-3]", p):
+            # branchK.J.conv -> branchK_layers_J/conv
+            j = parts[i + 1]
+            out.append(f"{p}_layers_{j}")
+            i += 2
+            continue
+        if p.isdigit():
+            out.append(f"layers_{p}")
+            i += 1
+            continue
+        out.append(p)
+        i += 1
+    return tuple(out)
+
+
+def _classify(key: str, arr: np.ndarray) -> tuple[str, str, np.ndarray]:
+    """Return (collection, leaf_name, transformed array)."""
+    if key.endswith("running_mean"):
+        return "batch_stats", "mean", arr
+    if key.endswith("running_var"):
+        return "batch_stats", "var", arr
+    if key.endswith("num_batches_tracked"):
+        return "drop", "", arr
+    leaf = key.rsplit(".", 1)[-1]
+    base = key.rsplit(".", 1)[0] if "." in key else key
+    if leaf == "weight":
+        if arr.ndim == 4:
+            return "params", "kernel", arr.transpose(2, 3, 1, 0)
+        if arr.ndim == 2:
+            return "params", "kernel", arr.T
+        return "params", "scale", arr  # BN / LayerNorm gain
+    if leaf == "bias":
+        return "params", "bias", arr
+    if base.endswith("pos_embed") or base.endswith("pos_embed_window"):
+        return "params", "", arr.transpose(0, 2, 3, 1)
+    return "params", "", arr
+
+
+def _set(tree: dict, path: tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    if path[-1] in node:
+        raise ValueError(f"duplicate converted key at {'/'.join(path)}")
+    node[path[-1]] = value
+
+
+def convert_state_dict(
+    state: dict[str, np.ndarray],
+    adapter_wrapped: bool | None = None,
+) -> dict[str, Any]:
+    """Torch state dict (numpy values) -> {'params': ..., 'batch_stats': ...}.
+
+    adapter_wrapped: whether trunk block keys include the Adapter `.block.`
+    segment. Autodetected when None.
+    """
+    if adapter_wrapped is None:
+        adapter_wrapped = any(".block." in k for k in state)
+
+    tree: dict[str, Any] = {"params": {}, "batch_stats": {}}
+    for key, arr in state.items():
+        arr = np.asarray(arr)
+        coll, leaf, value = _classify(key, arr)
+        if coll == "drop":
+            continue
+        name_key = key
+        for suffix in (".weight", ".bias", ".running_mean", ".running_var"):
+            if name_key.endswith(suffix):
+                name_key = name_key[: -len(suffix)]
+                break
+        path = _to_flax_path(name_key)
+        if path is None:
+            continue
+        if not adapter_wrapped:
+            # plain SAM2 trunk: blocks_i/<sub> -> blocks_i/block/<sub>
+            path = tuple(
+                x if not x.startswith("blocks_") else x for x in path
+            )
+            new_path = []
+            for x in path:
+                new_path.append(x)
+                if x.startswith("blocks_"):
+                    new_path.append("block")
+            path = tuple(new_path)
+        if leaf:
+            path = path + (leaf,)
+        _set(tree[coll], path, value)
+    if not tree["batch_stats"]:
+        tree.pop("batch_stats")
+    return tree
+
+
+def load_sam2_trunk(path: str) -> dict[str, Any]:
+    """Read an official sam2_hiera_*.pt and return trunk variables under the
+    `encoder` scope (ready to merge into SAM2UNet's variables)."""
+    state = load_torch_file(path)
+    if "model" in state and not any("." in k for k in state if k == "model"):
+        state = state["model"]
+    prefix = "image_encoder.trunk."
+    trunk = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+    if not trunk:
+        raise ValueError(f"no image_encoder.trunk.* keys found in {path}")
+    converted = convert_state_dict(trunk, adapter_wrapped=False)
+    out: dict[str, Any] = {}
+    for coll, sub in converted.items():
+        out[coll] = {"encoder": sub}
+    return out
+
+
+def load_sam2unet_checkpoint(path: str) -> dict[str, Any]:
+    """Read a fork-style SAM2-UNet .pth state dict into full variables."""
+    state = load_torch_file(path)
+    if "model" in state and isinstance(state["model"], dict):
+        state = state["model"]
+    return convert_state_dict(state, adapter_wrapped=True)
+
+
+def load_torch_file(path: str) -> dict[str, np.ndarray]:
+    """Load a torch-saved file to numpy without importing torch if possible."""
+    try:
+        from sam2unet_tpu.interop.pt_reader import read_pt
+
+        return read_pt(path)
+    except Exception:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        return _torch_tree_to_numpy(obj)
+
+
+def _torch_tree_to_numpy(obj):
+    import torch
+
+    if isinstance(obj, dict):
+        return {k: _torch_tree_to_numpy(v) for k, v in obj.items()}
+    if isinstance(obj, torch.Tensor):
+        return obj.detach().cpu().numpy()
+    return obj
+
+
+def validate_against(template: dict, converted: dict, scope: str = "") -> None:
+    """Strict key check mirroring build_sam.py:82-88: raise on any missing or
+    unexpected leaf path."""
+    import jax
+
+    t_paths = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(template)[0]}
+    c_paths = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(converted)[0]}
+    missing = sorted(t_paths - c_paths)
+    unexpected = sorted(c_paths - t_paths)
+    if missing or unexpected:
+        raise RuntimeError(
+            f"strict load failed{f' ({scope})' if scope else ''}: "
+            f"missing={missing[:8]}{'...' if len(missing) > 8 else ''} "
+            f"unexpected={unexpected[:8]}{'...' if len(unexpected) > 8 else ''}"
+        )

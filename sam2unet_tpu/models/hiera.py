@@ -1,0 +1,214 @@
+"""Hiera trunk (hierarchical ViT with windowed attention) — TPU-native.
+
+Re-design of sam2/modeling/backbones/hieradet.py:170-292 for XLA:
+  - NHWC throughout; window partition is pure reshape/transpose that XLA
+    folds away, so all attention runs as one large batched matmul per block.
+  - Q-pooling at stage changes is lax.reduce_window max (hieradet.py:110).
+  - Pos-embed = bicubic-resized background grid + tiled window grid
+    (hieradet.py:268-276) built with the MXU-matmul resizer in ops/resize.
+  - Optionally wraps each block with a PEFT Adapter (prompt MLP added to the
+    block input, SAM2UNet.py:52-65) — the fork's trainable path.
+
+Static shapes only: the grid sizes for every block are derived from the
+input size at trace time, so jit sees a fixed program.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from sam2unet_tpu.configs import HieraConfig
+from sam2unet_tpu.nn.layers import MLP, DropPath, SequentialMLP, gelu, layer_norm
+from sam2unet_tpu.ops.attention import sdpa
+from sam2unet_tpu.ops.pooling import max_pool2d
+from sam2unet_tpu.ops.resize import resize
+from sam2unet_tpu.ops.windowing import window_partition, window_unpartition
+
+
+class MultiScaleAttention(nn.Module):
+    """Attention with optional 2x2 max q-pool (hieradet.py:35-81)."""
+
+    dim_out: int
+    num_heads: int
+    q_stride: tuple[int, int] | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, _ = x.shape
+        qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, -1)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if self.q_stride is not None:
+            q = q.reshape(b, h, w, -1)
+            q = max_pool2d(q, self.q_stride[0], self.q_stride[0])
+            h, w = q.shape[1], q.shape[2]
+            q = q.reshape(b, h * w, self.num_heads, -1)
+
+        o = sdpa(q, k, v)  # (B, S, heads, head_dim)
+        o = o.reshape(b, h, w, -1)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(o)
+
+
+class MultiScaleBlock(nn.Module):
+    """Pre-norm windowed attention block (hieradet.py:84-167)."""
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    window_size: int  # 0 => global attention
+    q_stride: tuple[int, int] | None = None
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        shortcut = x
+        x = layer_norm(self.dtype, name="norm1")(x)
+
+        if self.dim != self.dim_out:
+            shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+            if self.q_stride is not None:
+                shortcut = max_pool2d(shortcut, self.q_stride[0], self.q_stride[0])
+
+        h, w = x.shape[1], x.shape[2]
+        window = self.window_size
+        if window > 0:
+            x, pad_hw = window_partition(x, window)
+
+        x = MultiScaleAttention(
+            self.dim_out, self.num_heads, self.q_stride, self.dtype, name="attn"
+        )(x)
+
+        if self.q_stride is not None:
+            # Q-pool halved the token grid; unpartition with the halved
+            # window against the pooled shortcut's grid (hieradet.py:148-159).
+            window = self.window_size // self.q_stride[0]
+            h2, w2 = shortcut.shape[1], shortcut.shape[2]
+            pad_h = (window - h2 % window) % window
+            pad_w = (window - w2 % window) % window
+            if self.window_size > 0:
+                x = window_unpartition(x, window, (h2 + pad_h, w2 + pad_w), (h2, w2))
+        elif window > 0:
+            x = window_unpartition(x, window, pad_hw, (h, w))
+
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(x, train)
+        y = layer_norm(self.dtype, name="norm2")(x)
+        y = MLP(
+            int(self.dim_out * self.mlp_ratio),
+            self.dim_out,
+            num_layers=2,
+            activation=gelu,
+            dtype=self.dtype,
+            name="mlp",
+        )(y)
+        return x + dp(y, train)
+
+
+class AdapterBlock(nn.Module):
+    """PEFT wrapper: x + prompt_learn(x) fed to the frozen block
+    (SAM2UNet.py:52-65; state-dict prefix `blocks.N.block.*`)."""
+
+    block_kwargs: dict
+    adapter_dim: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dim = self.block_kwargs["dim"]
+        prompt = SequentialMLP(
+            (self.adapter_dim, dim), activation=gelu, dtype=self.dtype,
+            name="prompt_learn",
+        )(x)
+        return MultiScaleBlock(**self.block_kwargs, dtype=self.dtype, name="block")(
+            x + prompt, train
+        )
+
+
+def _block_plan(cfg: HieraConfig) -> list[dict]:
+    """Static per-block hyperparameters (hieradet.py:232-260)."""
+    plan = []
+    embed_dim, num_heads, cur_stage = cfg.embed_dim, cfg.num_heads, 1
+    for i in range(cfg.depth):
+        dim_out = embed_dim
+        window_size = cfg.window_spec[cur_stage - 1]
+        if cfg.global_att_blocks and i in cfg.global_att_blocks:
+            window_size = 0
+        if i - 1 in cfg.stage_ends:
+            dim_out = int(embed_dim * cfg.dim_mul)
+            num_heads = int(num_heads * cfg.head_mul)
+            cur_stage += 1
+        dpr = cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+        plan.append(
+            dict(
+                dim=embed_dim,
+                dim_out=dim_out,
+                num_heads=num_heads,
+                window_size=window_size,
+                q_stride=cfg.q_stride if i in cfg.q_pool_blocks else None,
+                mlp_ratio=cfg.mlp_ratio,
+                drop_path=dpr,
+            )
+        )
+        embed_dim = dim_out
+    return plan
+
+
+class Hiera(nn.Module):
+    """The trunk. Returns the 4 stage-end feature maps (strides 4/8/16/32),
+    NHWC, fine-to-coarse — hieradet.py:278-292."""
+
+    cfg: HieraConfig
+    use_adapters: bool = False
+    adapter_dim: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
+        cfg = self.cfg
+        x = nn.Conv(
+            cfg.embed_dim, (7, 7), strides=4, padding=((3, 3), (3, 3)),
+            dtype=self.dtype, name="patch_embed_proj",
+        )(x)
+
+        h, w = x.shape[1], x.shape[2]
+        bkg_h, bkg_w = cfg.window_pos_embed_bkg_spatial_size
+        win0 = cfg.window_spec[0]
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.zeros, (1, bkg_h, bkg_w, cfg.embed_dim)
+        )
+        pos_embed_window = self.param(
+            "pos_embed_window", nn.initializers.zeros, (1, win0, win0, cfg.embed_dim)
+        )
+        pe = resize(pos_embed.astype(self.dtype), (h, w), "bicubic")
+        tiles = (1, h // win0, w // win0, 1)
+        pe = pe + jnp.tile(pos_embed_window.astype(self.dtype), tiles)
+        x = x + pe
+
+        outputs = []
+        for i, bk in enumerate(_block_plan(cfg)):
+            if self.use_adapters:
+                x = AdapterBlock(
+                    block_kwargs=bk, adapter_dim=self.adapter_dim,
+                    dtype=self.dtype, name=f"blocks_{i}",
+                )(x, train)
+            else:
+                x = MultiScaleBlock(**bk, dtype=self.dtype, name=f"blocks_{i}")(x, train)
+            if i in cfg.stage_ends:
+                outputs.append(x)
+        return outputs
+
+
+def hiera_grid_sizes(cfg: HieraConfig, input_size: int) -> list[tuple[int, int]]:
+    """Stage-end grid sizes for a square input (useful for shape checks)."""
+    g = input_size // 4
+    sizes = []
+    for s in range(len(cfg.stages)):
+        sizes.append((g, g))
+        g = int(np.floor(g / cfg.q_stride[0]))
+    return sizes

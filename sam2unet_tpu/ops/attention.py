@@ -1,0 +1,47 @@
+"""Scaled dot-product attention entry point for the framework.
+
+One function, several backends:
+  - "xla":    jax.nn.dot_product_attention — XLA fuses the softmax chain and
+              batches the (B*num_windows) tiny window matmuls onto the MXU.
+  - "pallas": fused flash-attention Pallas kernel (ops/pallas/) for the
+              large-sequence global-attention blocks.
+  - "auto":   picks pallas on TPU for long sequences, else xla.
+
+Numerics match torch.nn.functional.scaled_dot_product_attention with its
+default scale 1/sqrt(head_dim) (reference call sites: hieradet.py:70-74,
+sam2/modeling/sam/transformer.py:254-260).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Sequences at least this long route to the flash kernel under "auto".
+_PALLAS_MIN_SEQ = 1024
+_FORCE_IMPL: str | None = None  # test hook
+
+
+def set_attention_impl(impl: str | None) -> None:
+    """Force a backend globally ("xla" | "pallas" | None for auto)."""
+    global _FORCE_IMPL
+    _FORCE_IMPL = impl
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Attention over (B, S, num_heads, head_dim) tensors."""
+    if _FORCE_IMPL is not None:
+        impl = _FORCE_IMPL
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (on_tpu and q.shape[1] >= _PALLAS_MIN_SEQ) else "xla"
+    if impl == "pallas":
+        from sam2unet_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    return jax.nn.dot_product_attention(q, k, v)
