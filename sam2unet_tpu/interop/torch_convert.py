@@ -28,45 +28,41 @@ from typing import Any
 import numpy as np
 
 
-def _to_flax_path(key: str) -> tuple[str, ...] | None:
+def _to_flax_path(key: str) -> tuple[str, ...]:
     """Map a torch state-dict key (minus the trailing .weight etc.) to our
-    flax module path. Returns None for keys to skip."""
+    flax module path. Mechanical rules per container kind:
+      blocks.N           -> blocks_N
+      layers.N           -> layers_N            (sam2_utils.MLP)
+      prompt_learn.N     -> prompt_learn/layers_N  (Adapter Sequential)
+      branchK.N          -> branchK_layers_N    (RFB Sequential of ConvBN)
+      double_conv.N      -> layers_N            (DoubleConv Sequential)
+      patch_embed.proj   -> patch_embed_proj
+    """
     parts = key.split(".")
     out: list[str] = []
     i = 0
     while i < len(parts):
         p = parts[i]
-        if p == "patch_embed" and i + 1 < len(parts) and parts[i + 1] == "proj":
+        nxt = parts[i + 1] if i + 1 < len(parts) else None
+        if p == "patch_embed" and nxt == "proj":
             out.append("patch_embed_proj")
             i += 2
-            continue
-        if p == "blocks":
-            out.append(f"blocks_{parts[i + 1]}")
-            i += 2
-            continue
-        if p in ("mlp", "prompt_learn", "double_conv"):
-            name = "layers" if p == "double_conv" else p
-            if p != "double_conv":
+        elif nxt is not None and nxt.isdigit():
+            if p == "blocks":
+                out.append(f"blocks_{nxt}")
+            elif p == "layers":
+                out.append(f"layers_{nxt}")
+            elif p == "double_conv":
+                out.append(f"layers_{nxt}")
+            elif re.fullmatch(r"branch[0-3]", p):
+                out.append(f"{p}_layers_{nxt}")
+            else:  # generic Sequential container (e.g. prompt_learn)
                 out.append(p)
-            # numeric indices below become layers_{j}
-            if i + 1 < len(parts) and parts[i + 1].isdigit():
-                out.append(f"layers_{parts[i + 1]}")
-                i += 2
-                continue
-            i += 1
-            continue
-        if re.fullmatch(r"branch[0-3]", p):
-            # branchK.J.conv -> branchK_layers_J/conv
-            j = parts[i + 1]
-            out.append(f"{p}_layers_{j}")
+                out.append(f"layers_{nxt}")
             i += 2
-            continue
-        if p.isdigit():
-            out.append(f"layers_{p}")
+        else:
+            out.append(p)
             i += 1
-            continue
-        out.append(p)
-        i += 1
     return tuple(out)
 
 
@@ -79,7 +75,6 @@ def _classify(key: str, arr: np.ndarray) -> tuple[str, str, np.ndarray]:
     if key.endswith("num_batches_tracked"):
         return "drop", "", arr
     leaf = key.rsplit(".", 1)[-1]
-    base = key.rsplit(".", 1)[0] if "." in key else key
     if leaf == "weight":
         if arr.ndim == 4:
             return "params", "kernel", arr.transpose(2, 3, 1, 0)
@@ -88,7 +83,7 @@ def _classify(key: str, arr: np.ndarray) -> tuple[str, str, np.ndarray]:
         return "params", "scale", arr  # BN / LayerNorm gain
     if leaf == "bias":
         return "params", "bias", arr
-    if base.endswith("pos_embed") or base.endswith("pos_embed_window"):
+    if key.endswith("pos_embed") or key.endswith("pos_embed_window"):
         return "params", "", arr.transpose(0, 2, 3, 1)
     return "params", "", arr
 
@@ -104,16 +99,14 @@ def _set(tree: dict, path: tuple[str, ...], value: np.ndarray) -> None:
 
 def convert_state_dict(
     state: dict[str, np.ndarray],
-    adapter_wrapped: bool | None = None,
+    wrap_blocks: bool = False,
 ) -> dict[str, Any]:
     """Torch state dict (numpy values) -> {'params': ..., 'batch_stats': ...}.
 
-    adapter_wrapped: whether trunk block keys include the Adapter `.block.`
-    segment. Autodetected when None.
+    wrap_blocks: insert the Adapter `block` scope after each `blocks_N` when
+    the source keys don't already carry it — used when loading a plain SAM2
+    trunk into the adapter-wrapped SAM2UNet encoder (SAM2UNet.py:148-151).
     """
-    if adapter_wrapped is None:
-        adapter_wrapped = any(".block." in k for k in state)
-
     tree: dict[str, Any] = {"params": {}, "batch_stats": {}}
     for key, arr in state.items():
         arr = np.asarray(arr)
@@ -126,17 +119,11 @@ def convert_state_dict(
                 name_key = name_key[: -len(suffix)]
                 break
         path = _to_flax_path(name_key)
-        if path is None:
-            continue
-        if not adapter_wrapped:
-            # plain SAM2 trunk: blocks_i/<sub> -> blocks_i/block/<sub>
-            path = tuple(
-                x if not x.startswith("blocks_") else x for x in path
-            )
-            new_path = []
-            for x in path:
+        if wrap_blocks:
+            new_path: list[str] = []
+            for j, x in enumerate(path):
                 new_path.append(x)
-                if x.startswith("blocks_"):
+                if x.startswith("blocks_") and path[j + 1 : j + 2] != ("block",):
                     new_path.append("block")
             path = tuple(new_path)
         if leaf:
@@ -157,7 +144,7 @@ def load_sam2_trunk(path: str) -> dict[str, Any]:
     trunk = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
     if not trunk:
         raise ValueError(f"no image_encoder.trunk.* keys found in {path}")
-    converted = convert_state_dict(trunk, adapter_wrapped=False)
+    converted = convert_state_dict(trunk, wrap_blocks=True)
     out: dict[str, Any] = {}
     for coll, sub in converted.items():
         out[coll] = {"encoder": sub}
@@ -169,7 +156,7 @@ def load_sam2unet_checkpoint(path: str) -> dict[str, Any]:
     state = load_torch_file(path)
     if "model" in state and isinstance(state["model"], dict):
         state = state["model"]
-    return convert_state_dict(state, adapter_wrapped=True)
+    return convert_state_dict(state)
 
 
 def load_torch_file(path: str) -> dict[str, np.ndarray]:

@@ -80,8 +80,10 @@ def resize_matrix(
                 hi = int(np.floor(c + support)) + 1
                 taps = np.arange(lo, hi)
                 w = np.maximum(0.0, 1.0 - np.abs((taps - c) / downscale))
-                taps = np.clip(taps, 0, in_size - 1)
-                np.add.at(mat[o], taps, w)
+                # torch/PIL drop out-of-range taps and renormalize (they do
+                # NOT accumulate them onto the border pixel)
+                valid = (taps >= 0) & (taps < in_size)
+                np.add.at(mat[o], taps[valid], w[valid])
             mat /= mat.sum(axis=1, keepdims=True)
         else:
             s = np.maximum(src, 0.0) if not align_corners else src
@@ -101,8 +103,8 @@ def resize_matrix(
                 hi = int(np.floor(c + support)) + 1
                 taps = np.arange(lo, hi)
                 w = _cubic_kernel((taps - c) / downscale)
-                taps = np.clip(taps, 0, in_size - 1)
-                np.add.at(mat[o], taps, w)
+                valid = (taps >= 0) & (taps < in_size)
+                np.add.at(mat[o], taps[valid], w[valid])
             mat /= mat.sum(axis=1, keepdims=True)
         else:
             i0 = np.floor(src).astype(np.int64)
