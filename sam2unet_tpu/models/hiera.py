@@ -87,11 +87,11 @@ class MultiScaleBlock(nn.Module):
         if self.q_stride is not None:
             # Q-pool halved the token grid; unpartition with the halved
             # window against the pooled shortcut's grid (hieradet.py:148-159).
-            window = self.window_size // self.q_stride[0]
-            h2, w2 = shortcut.shape[1], shortcut.shape[2]
-            pad_h = (window - h2 % window) % window
-            pad_w = (window - w2 % window) % window
             if self.window_size > 0:
+                window = self.window_size // self.q_stride[0]
+                h2, w2 = shortcut.shape[1], shortcut.shape[2]
+                pad_h = (window - h2 % window) % window
+                pad_w = (window - w2 % window) % window
                 x = window_unpartition(x, window, (h2 + pad_h, w2 + pad_w), (h2, w2))
         elif window > 0:
             x = window_unpartition(x, window, pad_hw, (h, w))

@@ -14,10 +14,16 @@ from jax import lax
 
 def max_pool2d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
     """NHWC max pool, no padding (torch ceil_mode=False)."""
-    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # NOTE: the init value must be a plain scalar literal so JAX recognizes
+    # the (max, -inf) monoid and lowers to the differentiable
+    # reduce_window_max primitive instead of the generic (non-AD) one.
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = x.dtype.type(-jnp.inf)
+    else:
+        init = jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
-        jnp.asarray(init, x.dtype),
+        init,
         lax.max,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),
@@ -34,7 +40,7 @@ def avg_pool2d_same(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
     pad = kernel // 2
     summed = lax.reduce_window(
         x,
-        jnp.asarray(0.0, x.dtype),
+        x.dtype.type(0),
         lax.add,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, 1, 1, 1),

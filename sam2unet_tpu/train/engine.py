@@ -1,0 +1,139 @@
+"""Jitted training/eval engine.
+
+One compiled program per step (train.py:66-87's loop body, device-side):
+forward (3 heads) -> summed structure loss -> backward w.r.t. the trainable
+partition only -> AdamW update -> BN stat update. Under a data-sharded mesh
+the same program is the multi-chip program; XLA inserts the psums.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sam2unet_tpu.parallel.mesh import DATA_AXIS
+from sam2unet_tpu.train.loss import multi_head_loss
+from sam2unet_tpu.train.optim import merge_params, partition_params
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    trainable: Any
+    frozen: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @property
+    def params(self) -> dict:
+        return merge_params(self.trainable, self.frozen)
+
+    def variables(self) -> dict:
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def create_train_state(
+    variables: dict, optimizer: optax.GradientTransformation
+) -> TrainState:
+    trainable, frozen = partition_params(variables["params"])
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        frozen=frozen,
+        batch_stats=variables.get("batch_stats"),
+        opt_state=optimizer.init(trainable),
+    )
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    weighted_bce: bool = False,
+    mesh: Mesh | None = None,
+    donate: bool = True,
+) -> Callable:
+    """Returns jitted (state, images, labels) -> (state, metrics).
+
+    images: (B, H, W, 3) normalized; labels: (B, H, W, 1) in {0, 1}.
+    With a mesh, the batch is sharded over 'data' and state replicated.
+    """
+
+    def loss_fn(trainable, frozen, batch_stats, images, labels):
+        variables = {"params": merge_params(trainable, frozen)}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        (preds, new_model_state) = model.apply(
+            variables, images, train=True, mutable=["batch_stats"]
+        )
+        loss = multi_head_loss(preds, labels, weighted_bce)
+        return loss, new_model_state.get("batch_stats")
+
+    def step_fn(state: TrainState, images, labels):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable, state.frozen, state.batch_stats, images, labels
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.trainable
+        )
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            trainable=trainable,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+        )
+        return new_state, {"loss": loss}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh: Mesh | None = None) -> Callable:
+    """Jitted inference: (variables, images) -> (out, out1, out2) logits."""
+
+    def fwd(variables, images):
+        return model.apply(variables, images, train=False)
+
+    if mesh is None:
+        return jax.jit(fwd)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(fwd, in_shardings=(repl, data), out_shardings=data)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def postprocess_logits(
+    logits: jnp.ndarray, paddings: jnp.ndarray, size: int
+) -> jnp.ndarray:
+    """Device-side equivalent of the reference eval postprocess
+    (train.py:103-112): mask out letterbox padding, sigmoid. The final
+    un-pad crop + resize to GT resolution stays on host (variable shapes).
+
+    paddings: (B, 4) int32 [left, top, right, bottom]."""
+    b, h, w, _ = logits.shape
+    rows = jnp.arange(h)[None, :, None, None]
+    cols = jnp.arange(w)[None, None, :, None]
+    top = paddings[:, 1][:, None, None, None]
+    bot = (size - paddings[:, 3])[:, None, None, None]
+    left = paddings[:, 0][:, None, None, None]
+    right = (size - paddings[:, 2])[:, None, None, None]
+    valid = (rows >= top) & (rows < bot) & (cols >= left) & (cols < right)
+    return jnp.where(valid, jax.nn.sigmoid(logits.astype(jnp.float32)), 0.0)
