@@ -1,0 +1,134 @@
+"""Training entry point — flag-compatible with the reference train.py:163-208.
+
+TPU-native execution: one jitted train step over a data-sharded Mesh, device
+prefetch, per-epoch sharded eval with IoU-gated checkpointing and the
+reference's log.txt report format.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from sam2unet_tpu.cli.common import (
+    build_model,
+    init_variables,
+    load_weights,
+    postprocess_prediction,
+)
+from sam2unet_tpu.data.dataset import EvalDataset, TrainDataset
+from sam2unet_tpu.eval.metrics import (
+    MIOU,
+    evaluate_dataset,
+    evaluate_segmentation_performance,
+    print_eval_report,
+)
+from sam2unet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sam2unet_tpu.train.checkpoints import CheckpointPolicy
+from sam2unet_tpu.train.engine import create_train_state, make_eval_step, make_train_step
+from sam2unet_tpu.train.optim import make_optimizer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("SAM2-UNet (TPU)")
+    p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--hiera_path", type=str, default="",
+                   help="path to the sam2 pretrained hiera (.pt)")
+    p.add_argument("--checkpoint", type=str, default="",
+                   help="SAM2-UNet checkpoint (orbax dir or torch .pth)")
+    p.add_argument("--train_image_path", type=str, required=True)
+    p.add_argument("--train_mask_path", type=str, required=True)
+    p.add_argument("--test_image_path", type=str, required=True)
+    p.add_argument("--test_gt_path", type=str, required=True)
+    p.add_argument("--epoch", type=int, default=500)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--size", default=960, type=int)
+    p.add_argument("--weight_decay", default=5e-4, type=float)
+    p.add_argument("--save_interval", default=20, type=int)
+    p.add_argument("--base_mean_iou", default=0.83, type=float)
+    p.add_argument("--model_cfg", type=str, default="sam2_hiera_s")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (fp32 params/loss)")
+    p.add_argument("--eval_batch_size", type=int, default=0,
+                   help="0 = same as batch_size")
+    p.add_argument("--num_workers", type=int, default=8)
+    return p
+
+
+def main(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    dataset = TrainDataset(args.train_image_path, args.train_mask_path, args.size)
+    test_data = EvalDataset(args.test_image_path, args.test_gt_path, args.size)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model, _ = build_model(args.model_cfg, dtype=dtype)
+    variables = init_variables(model, args.size, batch=args.batch_size)
+    variables = load_weights(variables, args.hiera_path, args.checkpoint)
+
+    steps_per_epoch = max(1, -(-len(dataset) // args.batch_size))
+    optimizer = make_optimizer(
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        epochs=args.epoch,
+        steps_per_epoch=steps_per_epoch,
+    )
+    mesh = make_mesh()
+    state = replicate(mesh, create_train_state(variables, optimizer))
+    train_step = make_train_step(model, optimizer, mesh=mesh)
+    eval_step = make_eval_step(model, mesh=mesh)
+
+    eval_bs = args.eval_batch_size or args.batch_size
+    os.makedirs(args.save_path, exist_ok=True)
+    log_path = os.path.join(args.save_path, "log.txt")
+    policy = CheckpointPolicy(
+        args.save_path, args.base_mean_iou, args.save_interval, args.epoch
+    )
+
+    epoch_loss = 2.0
+    for epoch in range(args.epoch):
+        print("Training:")
+        for i, batch in enumerate(
+            dataset.epoch(args.batch_size, epoch, num_workers=args.num_workers)
+        ):
+            images = shard_batch(mesh, batch.image)
+            labels = shard_batch(mesh, batch.label)
+            state, metrics = train_step(state, images, labels)
+            if i % 10 == 0:
+                epoch_loss = float(metrics["loss"])
+                print(f"epoch-{epoch + 1}-{i + 1}: loss:{epoch_loss}")
+        epoch_loss = float(metrics["loss"])
+
+        print("Evaluating", end="")
+        eval_vars = state.variables()
+        results = []
+        for bi, eb in enumerate(test_data.batches(eval_bs)):
+            logits, _, _ = eval_step(eval_vars, shard_batch(mesh, eb["image"]))
+            logits = np.asarray(logits)
+            for j in range(eb["valid"]):
+                res = postprocess_prediction(
+                    logits[j : j + 1], eb["padding"][j], args.size,
+                    eb["gt"][j].shape,
+                )
+                results.append(
+                    evaluate_segmentation_performance(res, eb["gt"][j])
+                )
+                if (bi * eval_bs + j) % 10 == 0:
+                    print(".", end="", flush=True)
+
+        final_result = evaluate_dataset(results)
+        epoch_name = f"epoch-{epoch + 1}_loss-{epoch_loss:.3f}"
+        print_eval_report(final_result, title=epoch_name, log_path=log_path)
+        policy.maybe_save(epoch + 1, epoch_loss, final_result[MIOU], eval_vars)
+
+
+def run() -> None:
+    main(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    run()

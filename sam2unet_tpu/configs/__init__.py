@@ -76,11 +76,17 @@ HIERA_BPLUS = HieraConfig(embed_dim=112, num_heads=2)
 HIERA_L = HieraConfig(embed_dim=144, num_heads=2, stages=(2, 6, 36, 4),
                       global_att_blocks=(23, 33, 43), window_spec=(8, 4, 16, 8))
 
+# minimal trunk for integration tests / CI smoke runs
+HIERA_TEST = HieraConfig(embed_dim=8, stages=(1, 1, 1, 1), global_att_blocks=(2,),
+                         window_spec=(4, 2, 2, 2),
+                         window_pos_embed_bkg_spatial_size=(7, 7))
+
 registry: dict[str, HieraConfig] = {
     "sam2_hiera_t": HIERA_T,
     "sam2_hiera_s": HIERA_S,
     "sam2_hiera_b+": HIERA_BPLUS,
     "sam2_hiera_l": HIERA_L,
+    "hiera_test": HIERA_TEST,
 }
 
 

@@ -1,0 +1,131 @@
+"""Fused attention Pallas kernels for TPU.
+
+Motivation: the model is HBM-bandwidth-bound and the dominant traffic is the
+materialized (S x S) score/softmax matrices of 48 attention blocks (XLA
+keeps 2-3 HBM round trips per block). These kernels keep the whole softmax
+chain in VMEM.
+
+Two regimes:
+  - `_fused_full`: sequences up to ~1k tokens (every SAM2-UNet case at 352
+    and 960 inputs: windows of 64/196/256 tokens, global blocks of 484/3600)
+    — one program per (batch*head), full S x S in VMEM, no streaming.
+  - longer sequences fall back to XLA (a tiled streaming-flash variant is
+    the planned extension for SAM2's 1024-input global blocks).
+
+Layout contract: (B, S, H, D) with B carrying any folded window dimension —
+matches the model's head layout so no transposes are introduced. D is
+zero-padded to the 128-lane width once (cheap, fused) rather than letting
+every matmul run on a ragged 72-wide tile.
+
+Backward: jax.custom_vjp with an einsum recompute (correct, Ok perf); a
+fused backward kernel is a planned optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_FULL_SEQ = 1024
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _fused_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    dp = (-d) % 128  # pad head dim to the 128-lane width
+    pad = ((0, 0), (0, 0), (0, 0), (0, dp))
+    # (B, S, H, D) -> (B, H, S, Dp); XLA folds the transpose+pad into the
+    # producing matmul's output layout.
+    qt = jnp.pad(q, pad).transpose(0, 2, 1, 3) if dp else q.transpose(0, 2, 1, 3)
+    kt = jnp.pad(k, pad).transpose(0, 2, 1, 3) if dp else k.transpose(0, 2, 1, 3)
+    vt = jnp.pad(v, pad).transpose(0, 2, 1, 3) if dp else v.transpose(0, 2, 1, 3)
+    dpad = d + dp
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, sq, dpad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk, dpad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk, dpad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, sq, dpad), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, dpad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * sq * sk * (2 * dpad),
+            bytes_accessed=(2 * b * h * (sq + 2 * sk) * dpad) * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qt, kt, vt)
+    out = out.transpose(0, 2, 1, 3)
+    return out[..., :d] if dp else out
+
+
+def _xla_attention(q, k, v):
+    """Reference/backward implementation (plain XLA einsums)."""
+    d = q.shape[-1]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / math.sqrt(d)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+
+
+@jax.custom_vjp
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Fused attention over (B, S, H, D); numerics match
+    torch.nn.functional.scaled_dot_product_attention."""
+    if k.shape[1] > _MAX_FULL_SEQ or jax.default_backend() != "tpu":
+        return _xla_attention(q, k, v)
+    return _fused_full(q, k, v)
+
+
+def _fwd(q, k, v):
+    return flash_attention(q, k, v), (q, k, v)
+
+
+def _bwd(res, g):
+    q, k, v = res
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32).astype(v.dtype)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = (jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32)) * scale).astype(q.dtype)
+    dk = (jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32)) * scale).astype(k.dtype)
+    return dq, dk, dv
+
+
+flash_attention.defvjp(_fwd, _bwd)

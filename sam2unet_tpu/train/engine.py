@@ -60,12 +60,13 @@ def make_train_step(
     weighted_bce: bool = False,
     mesh: Mesh | None = None,
     donate: bool = True,
+    jit: bool = True,
 ) -> Callable:
     """Returns jitted (state, images, labels) -> (state, metrics).
 
     images: (B, H, W, 3) normalized; labels: (B, H, W, 1) in {0, 1}.
     With a mesh, the batch is sharded over 'data' and state replicated.
-    """
+    jit=False returns the raw step (for embedding in a lax.scan)."""
 
     def loss_fn(trainable, frozen, batch_stats, images, labels):
         variables = {"params": merge_params(trainable, frozen)}
@@ -93,6 +94,8 @@ def make_train_step(
         )
         return new_state, {"loss": loss}
 
+    if not jit:
+        return step_fn
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
