@@ -28,15 +28,30 @@ from typing import Any
 import numpy as np
 
 
+# ModuleLists whose entries are flattened to `name_{i}` module names
+_MODULELIST_FLAT = {"point_embeddings", "output_hypernetworks_mlps"}
+# Sequentials whose entries are flattened to `name_layers_{i}` module names
+_SEQ_FLAT = {"mask_downscaling", "output_upscaling", "encoder_seq"}
+# torch params/Embeddings stored raw (no transpose, no kernel/scale leaf)
+_EMBED_BASES = (
+    "not_a_point_embed", "no_mask_embed", "iou_token", "mask_tokens",
+    "obj_score_token", "no_mem_embed", "no_mem_pos_enc", "maskmem_tpos_enc",
+    "no_obj_ptr", "no_obj_embed_spatial", "pos_embed", "pos_embed_window",
+    "positional_encoding_gaussian_matrix", "gamma", "freqs_cis",
+)
+# rank-4 torch weights that are ConvTranspose (I, O, kh, kw) not Conv
+_CONV_TRANSPOSE_MARKERS = ("output_upscaling.0", "output_upscaling.2")
+
+
 def _to_flax_path(key: str) -> tuple[str, ...]:
     """Map a torch state-dict key (minus the trailing .weight etc.) to our
     flax module path. Mechanical rules per container kind:
-      blocks.N           -> blocks_N
-      layers.N           -> layers_N            (sam2_utils.MLP)
-      prompt_learn.N     -> prompt_learn/layers_N  (Adapter Sequential)
-      branchK.N          -> branchK_layers_N    (RFB Sequential of ConvBN)
-      double_conv.N      -> layers_N            (DoubleConv Sequential)
-      patch_embed.proj   -> patch_embed_proj
+      blocks.N / layers.N / <list>.N  -> blocks_N / layers_N / <list>_N
+      prompt_learn.N (Sequential)     -> prompt_learn/layers_N
+      branchK.N / mask_downscaling.N  -> branchK_layers_N / ..._layers_N
+      double_conv.N                   -> layers_N
+      patch_embed.proj                -> patch_embed_proj
+      pe_layer.positional_encoding_gaussian_matrix -> joined flat name
     """
     parts = key.split(".")
     out: list[str] = []
@@ -47,15 +62,23 @@ def _to_flax_path(key: str) -> tuple[str, ...]:
         if p == "patch_embed" and nxt == "proj":
             out.append("patch_embed_proj")
             i += 2
+        elif p == "pe_layer" and nxt == "positional_encoding_gaussian_matrix":
+            out.append("pe_layer_positional_encoding_gaussian_matrix")
+            i += 2
         elif nxt is not None and nxt.isdigit():
-            if p == "blocks":
-                out.append(f"blocks_{nxt}")
-            elif p == "layers":
-                out.append(f"layers_{nxt}")
-            elif p == "double_conv":
-                out.append(f"layers_{nxt}")
-            elif re.fullmatch(r"branch[0-3]", p):
+            if p in ("blocks", "layers", "double_conv"):
+                out.append(f"{'layers' if p == 'double_conv' else p}_{nxt}")
+            elif p in _MODULELIST_FLAT:
+                out.append(f"{p}_{nxt}")
+            elif p in _SEQ_FLAT or re.fullmatch(r"branch[0-3]", p):
                 out.append(f"{p}_layers_{nxt}")
+            elif p == "encoder" and "mask_downsampler" in parts[:i]:
+                # MaskDownSampler's inner Sequential named `encoder`
+                out.append(f"encoder_layers_{nxt}")
+            elif p == "convs" and i + 2 < len(parts):
+                # FpnNeck ModuleList of Sequential(conv=...) -> convs_N_conv
+                out.append(f"convs_{nxt}_{parts[i + 2]}")
+                i += 1
             else:  # generic Sequential container (e.g. prompt_learn)
                 out.append(p)
                 out.append(f"layers_{nxt}")

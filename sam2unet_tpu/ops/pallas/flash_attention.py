@@ -34,60 +34,76 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_FULL_SEQ = 1024
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, g: int):
+    # refs: (G, S, D) in VMEM, one row per (window*head). A fori_loop body
+    # serves all G rows (no unrolling); each program moves a multi-MB block
+    # so grid-invocation overhead amortizes.
+    def body(i, _):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[i] = o.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, g, body, 0)
+
+
+def _pick_group(n: int, sq: int, sk: int, d: int, itemsize: int) -> int:
+    """Largest divisor of n keeping the program's VMEM footprint ~<= 6 MB
+    (double-buffered in/out blocks)."""
+    per_row = (2 * sq + 2 * sk) * d * itemsize * 2
+    target = max(1, (6 * 1024 * 1024) // max(per_row, 1))
+    g = min(n, target)
+    while n % g:
+        g -= 1
+    return max(g, 1)
 
 
 def _fused_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
+    n = b * h
 
-    dp = (-d) % 128  # pad head dim to the 128-lane width
-    pad = ((0, 0), (0, 0), (0, 0), (0, dp))
-    # (B, S, H, D) -> (B, H, S, Dp); XLA folds the transpose+pad into the
-    # producing matmul's output layout.
-    qt = jnp.pad(q, pad).transpose(0, 2, 1, 3) if dp else q.transpose(0, 2, 1, 3)
-    kt = jnp.pad(k, pad).transpose(0, 2, 1, 3) if dp else k.transpose(0, 2, 1, 3)
-    vt = jnp.pad(v, pad).transpose(0, 2, 1, 3) if dp else v.transpose(0, 2, 1, 3)
-    dpad = d + dp
+    # (B, S, H, D) -> (B*H, S, D): one bf16 layout change, far cheaper than
+    # the fp32 score-matrix round trips this kernel removes.
+    qf = q.transpose(0, 2, 1, 3).reshape(n, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(n, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(n, sk, d)
+    g = _pick_group(n, sq, sk, d, q.dtype.itemsize)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
-        grid=(b, h),
+        functools.partial(_kernel, scale=scale, g=g),
+        grid=(n // g,),
         in_specs=[
-            pl.BlockSpec((1, 1, sq, dpad), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((g, sq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk, dpad), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((g, sk, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk, dpad), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((g, sk, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, sq, dpad), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((g, sq, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, dpad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, sq, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * sq * sk * (2 * dpad),
-            bytes_accessed=(2 * b * h * (sq + 2 * sk) * dpad) * q.dtype.itemsize,
-            transcendentals=b * h * sq * sk,
+            flops=2 * n * sq * sk * (2 * d),
+            bytes_accessed=(2 * n * (sq + 2 * sk) * d) * q.dtype.itemsize,
+            transcendentals=n * sq * sk,
         ),
-    )(qt, kt, vt)
-    out = out.transpose(0, 2, 1, 3)
-    return out[..., :d] if dp else out
+    )(qf, kf, vf)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
 def _xla_attention(q, k, v):
