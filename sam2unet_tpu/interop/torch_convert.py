@@ -36,11 +36,9 @@ _SEQ_FLAT = {"mask_downscaling", "output_upscaling", "encoder_seq"}
 _EMBED_BASES = (
     "not_a_point_embed", "no_mask_embed", "iou_token", "mask_tokens",
     "obj_score_token", "no_mem_embed", "no_mem_pos_enc", "maskmem_tpos_enc",
-    "no_obj_ptr", "no_obj_embed_spatial", "pos_embed", "pos_embed_window",
-    "positional_encoding_gaussian_matrix", "gamma", "freqs_cis",
+    "no_obj_ptr", "no_obj_embed_spatial",
+    "positional_encoding_gaussian_matrix", "gamma",
 )
-# rank-4 torch weights that are ConvTranspose (I, O, kh, kw) not Conv
-_CONV_TRANSPOSE_MARKERS = ("output_upscaling.0", "output_upscaling.2")
 
 
 def _to_flax_path(key: str) -> tuple[str, ...]:
@@ -97,9 +95,18 @@ def _classify(key: str, arr: np.ndarray) -> tuple[str, str, np.ndarray]:
         return "batch_stats", "var", arr
     if key.endswith("num_batches_tracked"):
         return "drop", "", arr
+    stripped = key[: -len(".weight")] if key.endswith(".weight") else key
+    parts = stripped.split(".")
+    last, prev = parts[-1], parts[-2] if len(parts) > 1 else ""
+    if last in _EMBED_BASES or (prev == "point_embeddings" and last.isdigit()):
+        return "params", "", arr  # raw embedding/param, no transpose
+
     leaf = key.rsplit(".", 1)[-1]
     if leaf == "weight":
         if arr.ndim == 4:
+            # regular Conv2d (O, I, kh, kw) and ConvTranspose2d (I, O, kh, kw)
+            # both map with (2, 3, 1, 0): our ConvTranspose modules use
+            # flax transpose_kernel=True, whose kernel layout is (kh, kw, O, I)
             return "params", "kernel", arr.transpose(2, 3, 1, 0)
         if arr.ndim == 2:
             return "params", "kernel", arr.T

@@ -20,7 +20,7 @@ from sam2unet_tpu.ops.resize import resize
 class FpnNeck(nn.Module):
     d_model: int = 256
     backbone_channel_list: tuple[int, ...] = (768, 384, 192, 96)
-    num_pos_feats: int = 256
+    num_pos_feats: int | None = None  # defaults to d_model
     fpn_interp_model: str = "nearest"
     fuse_type: str = "sum"
     fpn_top_down_levels: tuple[int, ...] | None = (2, 3)
@@ -60,11 +60,10 @@ class FpnNeck(nn.Module):
             else:
                 prev = lateral
             out[i] = prev
-            pe = sine_position_embedding(
-                prev.shape[1], prev.shape[2], self.num_pos_feats
-            )
+            npf = self.num_pos_feats or self.d_model
+            pe = sine_position_embedding(prev.shape[1], prev.shape[2], npf)
             pos[i] = jnp.broadcast_to(
-                jnp.asarray(pe, prev.dtype)[None], prev.shape[:3] + (self.num_pos_feats,)
+                jnp.asarray(pe, prev.dtype)[None], prev.shape[:3] + (npf,)
             )
         return out, pos
 

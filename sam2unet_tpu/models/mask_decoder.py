@@ -55,12 +55,15 @@ class MaskDecoder(nn.Module):
         if self.pred_obj_scores:
             self.obj_score_token = self.param("obj_score_token", init, (1, d))
 
+        # transpose_kernel=True matches torch ConvTranspose2d exactly
         self.upscale_conv1 = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2),
-                                              dtype=dt, name="output_upscaling_layers_0")
+                                              transpose_kernel=True, dtype=dt,
+                                              name="output_upscaling_layers_0")
         self.upscale_ln = nn.LayerNorm(epsilon=1e-6, dtype=dt,
                                        name="output_upscaling_layers_1")
         self.upscale_conv2 = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2),
-                                              dtype=dt, name="output_upscaling_layers_3")
+                                              transpose_kernel=True, dtype=dt,
+                                              name="output_upscaling_layers_3")
         if self.use_high_res_features:
             self.conv_s0 = nn.Conv(d // 8, (1, 1), dtype=dt)
             self.conv_s1 = nn.Conv(d // 4, (1, 1), dtype=dt)
@@ -114,10 +117,12 @@ class MaskDecoder(nn.Module):
             up = gelu(self.upscale_ln(up))
             up = gelu(self.upscale_conv2(up))
         else:
+            # high_res_features arrive already projected by conv_s0/conv_s1
+            # in forward_image (sam2_base.py:466-474)
             feat_s0, feat_s1 = high_res_features  # NHWC
-            up = self.upscale_conv1(src_img) + self.conv_s1(feat_s1)
+            up = self.upscale_conv1(src_img) + feat_s1
             up = gelu(self.upscale_ln(up))
-            up = gelu(self.upscale_conv2(up) + self.conv_s0(feat_s0))
+            up = gelu(self.upscale_conv2(up) + feat_s0)
 
         hyper = jnp.stack(
             [m(mask_tokens_out[:, i]) for i, m in

@@ -112,6 +112,10 @@ class MemoryEncoder(nn.Module):
     out_dim: int = 64
     in_dim: int = 256
     fuser_layers: int = 2
+    # mask-downsampler shape knobs (sam2_hiera_*.yaml: kernel 3, stride 2)
+    mds_kernel: int = 3
+    mds_stride: int = 2
+    mds_padding: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -122,8 +126,10 @@ class MemoryEncoder(nn.Module):
         """pix_feat: (B, H, W, in_dim); masks: (B, 16H, 16W, 1)."""
         if not skip_mask_sigmoid:
             masks = nn.sigmoid(masks)
-        masks = MaskDownSampler(self.in_dim, dtype=self.dtype,
-                                name="mask_downsampler")(masks)
+        masks = MaskDownSampler(
+            self.in_dim, kernel_size=self.mds_kernel, stride=self.mds_stride,
+            padding=self.mds_padding, dtype=self.dtype, name="mask_downsampler",
+        )(masks)
         x = nn.Conv(self.in_dim, (1, 1), dtype=self.dtype, name="pix_feat_proj")(pix_feat)
         x = x + masks
         x = Fuser(self.in_dim, self.fuser_layers, dtype=self.dtype, name="fuser")(x)

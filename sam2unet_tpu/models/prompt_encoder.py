@@ -23,6 +23,10 @@ class PromptEncoder(nn.Module):
     mask_in_chans: int
     dtype: jnp.dtype = jnp.float32
 
+    @property
+    def mask_input_size(self) -> tuple[int, int]:
+        return (4 * self.image_embedding_size[0], 4 * self.image_embedding_size[1])
+
     def setup(self):
         f = self.embed_dim // 2
         self.pe_gaussian = self.param(

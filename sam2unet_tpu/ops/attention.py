@@ -38,10 +38,16 @@ def sdpa(
     if _FORCE_IMPL is not None:
         impl = _FORCE_IMPL
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and q.shape[1] >= _PALLAS_MIN_SEQ) else "xla"
+        # measured on v5e: the manual einsum with bf16 probabilities beats
+        # both jax.nn.dot_product_attention and the fused Pallas kernel at
+        # this model's 72-wide heads; pallas only for very long sequences
+        impl = "einsum"
     if impl == "pallas":
         from sam2unet_tpu.ops.pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v)
+    if impl == "einsum":
+        from sam2unet_tpu.ops.pallas.flash_attention import _xla_attention
+
+        return _xla_attention(q, k, v)
     return jax.nn.dot_product_attention(q, k, v)

@@ -1,0 +1,272 @@
+"""SAM2 image predictor: cache image embeddings, predict masks per prompt.
+
+API-compatible re-design of sam2/sam2_image_predictor.py:20-447 for JAX:
+the predictor owns the model + variables and jits two programs — feature
+extraction and the prompt->mask path — cached per prompt count. Numpy in,
+numpy out; prompts use the reference's conventions (XY pixel coords, labels
+1/0 fg/bg, boxes XYXY merged as corner points 2/3)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam2unet_tpu.models.sam2_base import SAM2Base
+from sam2unet_tpu.predictors.transforms import SAM2Transforms
+
+
+class SAM2ImagePredictor:
+    def __init__(
+        self,
+        model: SAM2Base,
+        variables: dict,
+        mask_threshold: float = 0.0,
+        max_hole_area: float = 0.0,
+        max_sprinkle_area: float = 0.0,
+    ) -> None:
+        self.model = model
+        self.variables = variables
+        self.mask_threshold = mask_threshold
+        self._transforms = SAM2Transforms(
+            resolution=model.cfg.image_size,
+            mask_threshold=mask_threshold,
+            max_hole_area=max_hole_area,
+            max_sprinkle_area=max_sprinkle_area,
+        )
+        self._features = None
+        self._orig_hw: list[tuple[int, int]] = []
+        self._is_batch = False
+
+        self._forward_image = jax.jit(
+            lambda v, x: model.apply(v, x, method=SAM2Base.forward_image)
+        )
+        self._decode = jax.jit(
+            partial(self._decode_fn), static_argnames=("multimask_output",)
+        )
+
+    # ------------------------------------------------------------ features
+
+    def set_image(self, image: np.ndarray) -> None:
+        """image: HWC RGB uint8/float in [0, 255]."""
+        self.reset_predictor()
+        self._orig_hw = [tuple(image.shape[:2])]
+        x = self._transforms(image)[None]
+        self._compute_features(x)
+
+    def set_image_batch(self, image_list: list[np.ndarray]) -> None:
+        self.reset_predictor()
+        self._orig_hw = [tuple(im.shape[:2]) for im in image_list]
+        x = self._transforms.forward_batch(image_list)
+        self._compute_features(x)
+        self._is_batch = True
+
+    def _compute_features(self, x: np.ndarray) -> None:
+        out = self._forward_image(self.variables, jnp.asarray(x))
+        feats = list(out["backbone_fpn"])
+        # add no_mem_embed to the lowest-res level (image use matches video
+        # training; sam2_image_predictor.py:100-103)
+        if self.model.cfg.directly_add_no_mem_embed:
+            f = feats[-1]
+            b, h, w, c = f.shape
+            nme = self.variables["params"]["no_mem_embed"]
+            feats[-1] = (f.reshape(b, h * w, c) + nme).reshape(b, h, w, c)
+        self._features = {"image_embed": feats[-1], "high_res_feats": feats[:-1]}
+
+    # ------------------------------------------------------------- predict
+
+    def predict(
+        self,
+        point_coords: np.ndarray | None = None,
+        point_labels: np.ndarray | None = None,
+        box: np.ndarray | None = None,
+        mask_input: np.ndarray | None = None,
+        multimask_output: bool = True,
+        return_logits: bool = False,
+        normalize_coords: bool = True,
+    ):
+        """Returns (masks (M,H,W), iou (M,), low_res_logits (M,h,w))."""
+        if self._features is None:
+            raise RuntimeError("An image must be set with .set_image(...) first.")
+        coords, labels = self._prep_prompts(
+            point_coords, point_labels, box, normalize_coords, img_idx=0
+        )
+        masks, ious, low_res = self._run(
+            0, coords, labels, mask_input, multimask_output
+        )
+        if not return_logits:
+            masks = masks > self.mask_threshold
+        return masks[0], ious[0], low_res[0]
+
+    def predict_batch(
+        self,
+        point_coords_batch=None,
+        point_labels_batch=None,
+        box_batch=None,
+        mask_input_batch=None,
+        multimask_output: bool = True,
+        return_logits: bool = False,
+        normalize_coords: bool = True,
+    ):
+        assert self._is_batch, "call set_image_batch first"
+        n = len(self._orig_hw)
+        all_masks, all_ious, all_low = [], [], []
+        for i in range(n):
+            pc = point_coords_batch[i] if point_coords_batch is not None else None
+            pl = point_labels_batch[i] if point_labels_batch is not None else None
+            bx = box_batch[i] if box_batch is not None else None
+            mi = mask_input_batch[i] if mask_input_batch is not None else None
+            coords, labels = self._prep_prompts(pc, pl, bx, normalize_coords, i)
+            masks, ious, low = self._run(i, coords, labels, mi, multimask_output)
+            if not return_logits:
+                masks = masks > self.mask_threshold
+            all_masks.append(masks[0])
+            all_ious.append(ious[0])
+            all_low.append(low[0])
+        return all_masks, all_ious, all_low
+
+    def _prep_prompts(self, point_coords, point_labels, box, normalize, img_idx):
+        pieces_c, pieces_l = [], []
+        if box is not None:
+            bc = self._transforms.transform_boxes(
+                box, normalize=normalize, orig_hw=self._orig_hw[img_idx]
+            )  # (1, 2, 2)
+            pieces_c.append(bc.reshape(1, 2, 2))
+            pieces_l.append(np.array([[2, 3]], np.int32))
+        if point_coords is not None:
+            assert point_labels is not None
+            pc = self._transforms.transform_coords(
+                np.asarray(point_coords, np.float32),
+                normalize=normalize, orig_hw=self._orig_hw[img_idx],
+            )
+            if pc.ndim == 2:
+                pc = pc[None]
+            pl = np.asarray(point_labels, np.int32)
+            if pl.ndim == 1:
+                pl = pl[None]
+            pieces_c.append(pc)
+            pieces_l.append(pl)
+        if not pieces_c:
+            coords = np.zeros((1, 1, 2), np.float32)
+            labels = -np.ones((1, 1), np.int32)
+            return coords, labels
+        coords = np.concatenate(pieces_c, axis=1)
+        labels = np.concatenate(pieces_l, axis=1)
+        if box is None:
+            # reference pads with a (-1) point when no box (prompt_encoder pad)
+            coords = np.concatenate(
+                [coords, np.zeros((coords.shape[0], 1, 2), np.float32)], axis=1
+            )
+            labels = np.concatenate(
+                [labels, -np.ones((labels.shape[0], 1), np.int32)], axis=1
+            )
+        return coords.astype(np.float32), labels.astype(np.int32)
+
+    def _decode_fn(self, variables, image_embed, high0, high1, coords, labels,
+                   mask_input, multimask_output):
+        def run(m):
+            sparse, dense = m.sam_prompt_encoder(coords, labels, None, mask_input)
+            low_res, ious, _, _ = m.sam_mask_decoder(
+                image_embeddings=image_embed,
+                image_pe=m.sam_prompt_encoder.get_dense_pe(),
+                sparse_prompt_embeddings=sparse,
+                dense_prompt_embeddings=dense,
+                multimask_output=multimask_output,
+                high_res_features=(high0, high1),
+            )
+            return low_res, ious
+
+        return self.model.apply(variables, method=run)
+
+    def _run(self, img_idx, coords, labels, mask_input, multimask_output):
+        image_embed = self._features["image_embed"][img_idx : img_idx + 1]
+        high0 = self._features["high_res_feats"][0][img_idx : img_idx + 1]
+        high1 = self._features["high_res_feats"][1][img_idx : img_idx + 1]
+        mi = None
+        if mask_input is not None:
+            mi = np.asarray(mask_input, np.float32)
+            if mi.ndim == 3:
+                mi = mi[None]
+            mi = jnp.asarray(mi.transpose(0, 2, 3, 1))
+        low_res, ious = self._decode(
+            self.variables, image_embed, high0, high1,
+            jnp.asarray(coords), jnp.asarray(labels), mi,
+            multimask_output=multimask_output,
+        )
+        low_res = np.clip(np.asarray(low_res, np.float32), -32.0, 32.0)
+        masks = self._transforms.postprocess_masks(
+            low_res, self._orig_hw[img_idx]
+        )
+        return masks[None] if masks.ndim == 3 else masks, np.asarray(ious), low_res
+
+    def _predict(
+        self,
+        point_coords: np.ndarray | None,
+        point_labels: np.ndarray | None,
+        boxes: np.ndarray | None = None,
+        mask_input: np.ndarray | None = None,
+        multimask_output: bool = True,
+        return_logits: bool = False,
+        img_idx: int = 0,
+    ):
+        """Batched-prompt predict on the set image (the reference's _predict,
+        sam2_image_predictor.py:318-447): coords already in model-resolution
+        pixels, B prompts against one image. Returns numpy
+        (B, M, H, W), (B, M), (B, M, h, w)."""
+        if self._features is None:
+            raise RuntimeError("An image must be set with .set_image(...) first.")
+        pieces_c, pieces_l = [], []
+        if boxes is not None:
+            bc = np.asarray(boxes, np.float32).reshape(-1, 2, 2)
+            pieces_c.append(bc)
+            pieces_l.append(np.tile(np.array([[2, 3]], np.int32), (bc.shape[0], 1)))
+        if point_coords is not None:
+            pc = np.asarray(point_coords, np.float32)
+            pl = np.asarray(point_labels, np.int32)
+            pieces_c.append(pc)
+            pieces_l.append(pl)
+        coords = np.concatenate(pieces_c, axis=1) if len(pieces_c) > 1 else pieces_c[0]
+        labels = np.concatenate(pieces_l, axis=1) if len(pieces_l) > 1 else pieces_l[0]
+        if boxes is None:
+            b = coords.shape[0]
+            coords = np.concatenate([coords, np.zeros((b, 1, 2), np.float32)], axis=1)
+            labels = np.concatenate([labels, -np.ones((b, 1), np.int32)], axis=1)
+
+        b = coords.shape[0]
+        image_embed = jnp.repeat(
+            self._features["image_embed"][img_idx : img_idx + 1], b, axis=0
+        )
+        high0 = jnp.repeat(
+            self._features["high_res_feats"][0][img_idx : img_idx + 1], b, axis=0
+        )
+        high1 = jnp.repeat(
+            self._features["high_res_feats"][1][img_idx : img_idx + 1], b, axis=0
+        )
+        mi = None
+        if mask_input is not None:
+            mi = np.asarray(mask_input, np.float32)
+            if mi.ndim == 3:
+                mi = mi[:, None]
+            mi = jnp.asarray(mi.transpose(0, 2, 3, 1))
+        low_res, ious = self._decode(
+            self.variables, image_embed, high0, high1,
+            jnp.asarray(coords), jnp.asarray(labels), mi,
+            multimask_output=multimask_output,
+        )
+        low_res = np.clip(np.asarray(low_res, np.float32), -32.0, 32.0)
+        masks = self._transforms.postprocess_masks(low_res, self._orig_hw[img_idx])
+        if not return_logits:
+            masks = masks > self.mask_threshold
+        return masks, np.asarray(ious), low_res
+
+    def get_image_embedding(self):
+        if self._features is None:
+            raise RuntimeError("An image must be set with .set_image(...) first.")
+        return self._features["image_embed"]
+
+    def reset_predictor(self) -> None:
+        self._features = None
+        self._orig_hw = []
+        self._is_batch = False

@@ -1,0 +1,786 @@
+"""SAM2 video predictor: interactive multi-object streaming tracker.
+
+API-compatible re-design of sam2/sam2_video_predictor.py:17-898. The host
+owns the state machine (per-object prompt dicts, cond/non-cond output
+banks, memory selection — all irregular Python); the device work runs
+through a handful of jitted programs over fixed-shape tensors, cached per
+(num_memory_tokens, num_prompt_points) signature:
+
+    frame features -> [memory attention over gathered bank] -> SAM heads
+    -> memory encoder
+
+Frames live host-side as numpy (the analog of the reference's CPU offload
+options); features are cached per frame like the reference's `cached_features`.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam2unet_tpu.models.position_encoding import get_1d_sine_pe
+from sam2unet_tpu.models.sam2_base import SAM2Base
+from sam2unet_tpu.predictors.transforms import SAM2Transforms
+
+NO_OBJ_SCORE = -1024.0
+
+
+def select_closest_cond_frames(frame_idx, cond_frame_outputs, max_cond_frame_num):
+    """(sam2_utils.py:15-57)."""
+    if max_cond_frame_num == -1 or len(cond_frame_outputs) <= max_cond_frame_num:
+        return cond_frame_outputs, {}
+    assert max_cond_frame_num >= 2
+    selected = {}
+    idx_before = max((t for t in cond_frame_outputs if t < frame_idx), default=None)
+    if idx_before is not None:
+        selected[idx_before] = cond_frame_outputs[idx_before]
+    idx_after = min((t for t in cond_frame_outputs if t >= frame_idx), default=None)
+    if idx_after is not None:
+        selected[idx_after] = cond_frame_outputs[idx_after]
+    remain = sorted(
+        (t for t in cond_frame_outputs if t not in selected),
+        key=lambda x: abs(x - frame_idx),
+    )[: max_cond_frame_num - len(selected)]
+    selected.update((t, cond_frame_outputs[t]) for t in remain)
+    unselected = {t: v for t, v in cond_frame_outputs.items() if t not in selected}
+    return selected, unselected
+
+
+class SAM2VideoPredictor:
+    def __init__(
+        self,
+        model: SAM2Base,
+        variables: dict,
+        fill_hole_area: int = 0,
+        non_overlap_masks: bool = False,
+        clear_non_cond_mem_around_input: bool = False,
+        clear_non_cond_mem_for_multi_obj: bool = False,
+    ):
+        self.model = model
+        self.variables = variables
+        self.cfg = model.cfg
+        self.fill_hole_area = fill_hole_area
+        self.non_overlap_masks = non_overlap_masks
+        self.clear_non_cond_mem_around_input = clear_non_cond_mem_around_input
+        self.clear_non_cond_mem_for_multi_obj = clear_non_cond_mem_for_multi_obj
+        self._transforms = SAM2Transforms(resolution=self.cfg.image_size,
+                                          mask_threshold=0.0)
+
+        m = model
+        self._jit_forward_image = jax.jit(
+            lambda v, x: m.apply(v, x, method=SAM2Base.forward_image)
+        )
+        self._jit_condition = jax.jit(
+            lambda v, f, p, mem, mem_pos, nptr: m.apply(
+                v, f, p, mem, mem_pos, nptr,
+                method=SAM2Base.condition_features_on_memory,
+            ),
+            static_argnames=("nptr",),
+        )
+        self._jit_condition_init = jax.jit(
+            lambda v, f, p: m.apply(
+                v, f, p, None, None, 0, True,
+                method=SAM2Base.condition_features_on_memory,
+            )
+        )
+        self._jit_heads = jax.jit(
+            lambda v, bf, c, l, mi, hr0, hr1, multi: m.apply(
+                v, bf, c, l, mi, (hr0, hr1), multi,
+                method=SAM2Base.forward_sam_heads,
+            ),
+            static_argnames=("multi",),
+        )
+        self._jit_mask_as_output = jax.jit(
+            lambda v, bf, hr0, hr1, mi: m.apply(
+                v, bf, (hr0, hr1), mi, method=SAM2Base.use_mask_as_output
+            )
+        )
+        self._jit_encode_memory = jax.jit(
+            lambda v, f, masks, from_pts: m.apply(
+                v, f, masks, from_pts, method=SAM2Base.encode_new_memory
+            ),
+            static_argnames=("from_pts",),
+        )
+
+    # -------------------------------------------------------------- state
+
+    def init_state(
+        self,
+        video_path: str | None = None,
+        images: np.ndarray | None = None,
+        offload_video_to_cpu: bool = False,
+        offload_state_to_cpu: bool = False,
+        async_loading_frames: bool = False,
+    ) -> dict:
+        """images: (T, H, W, 3) RGB uint8, or video_path: directory of
+        frame JPEG/PNGs (misc.py:163-213 contract)."""
+        if images is None:
+            from sam2unet_tpu.utils.video import load_video_frames
+
+            images, orig_h, orig_w = load_video_frames(video_path)
+        else:
+            orig_h, orig_w = images.shape[1:3]
+        state = {
+            "images": images,  # raw host frames (uint8) — lazy per-frame prep
+            "num_frames": len(images),
+            "offload_video_to_cpu": offload_video_to_cpu,
+            "offload_state_to_cpu": offload_state_to_cpu,
+            "video_height": orig_h,
+            "video_width": orig_w,
+            "point_inputs_per_obj": {},
+            "mask_inputs_per_obj": {},
+            "cached_features": {},
+            "constants": {},
+            "obj_id_to_idx": OrderedDict(),
+            "obj_idx_to_id": OrderedDict(),
+            "obj_ids": [],
+            "output_dict": {"cond_frame_outputs": {}, "non_cond_frame_outputs": {}},
+            "output_dict_per_obj": {},
+            "temp_output_dict_per_obj": {},
+            "consolidated_frame_inds": {
+                "cond_frame_outputs": set(),
+                "non_cond_frame_outputs": set(),
+            },
+            "tracking_has_started": False,
+            "frames_already_tracked": {},
+        }
+        self._get_image_feature(state, frame_idx=0, batch_size=1)  # warm up
+        return state
+
+    def reset_state(self, state: dict) -> None:
+        self._reset_tracking_results(state)
+        state["obj_id_to_idx"].clear()
+        state["obj_idx_to_id"].clear()
+        state["obj_ids"].clear()
+        state["point_inputs_per_obj"].clear()
+        state["mask_inputs_per_obj"].clear()
+        state["output_dict_per_obj"].clear()
+        state["temp_output_dict_per_obj"].clear()
+
+    def _reset_tracking_results(self, state: dict) -> None:
+        for v in state["point_inputs_per_obj"].values():
+            v.clear()
+        for v in state["mask_inputs_per_obj"].values():
+            v.clear()
+        for v in state["output_dict_per_obj"].values():
+            v["cond_frame_outputs"].clear()
+            v["non_cond_frame_outputs"].clear()
+        for v in state["temp_output_dict_per_obj"].values():
+            v["cond_frame_outputs"].clear()
+            v["non_cond_frame_outputs"].clear()
+        state["output_dict"]["cond_frame_outputs"].clear()
+        state["output_dict"]["non_cond_frame_outputs"].clear()
+        state["consolidated_frame_inds"]["cond_frame_outputs"].clear()
+        state["consolidated_frame_inds"]["non_cond_frame_outputs"].clear()
+        state["tracking_has_started"] = False
+        state["frames_already_tracked"].clear()
+
+    def _obj_id_to_idx(self, state: dict, obj_id: int) -> int:
+        """(sam2_video_predictor.py:106-146)."""
+        obj_idx = state["obj_id_to_idx"].get(obj_id, None)
+        if obj_idx is not None:
+            return obj_idx
+        if state["tracking_has_started"]:
+            raise RuntimeError(
+                "Cannot add new object id after tracking starts; call "
+                "reset_state to restart."
+            )
+        obj_idx = len(state["obj_id_to_idx"])
+        state["obj_id_to_idx"][obj_id] = obj_idx
+        state["obj_idx_to_id"][obj_idx] = obj_id
+        state["obj_ids"] = list(state["obj_id_to_idx"])
+        state["point_inputs_per_obj"][obj_idx] = {}
+        state["mask_inputs_per_obj"][obj_idx] = {}
+        state["output_dict_per_obj"][obj_idx] = {
+            "cond_frame_outputs": {},
+            "non_cond_frame_outputs": {},
+        }
+        state["temp_output_dict_per_obj"][obj_idx] = {
+            "cond_frame_outputs": {},
+            "non_cond_frame_outputs": {},
+        }
+        return obj_idx
+
+    # ------------------------------------------------------------- inputs
+
+    def add_new_points(
+        self,
+        inference_state: dict,
+        frame_idx: int,
+        obj_id: int,
+        points,
+        labels,
+        clear_old_points: bool = True,
+        normalize_coords: bool = True,
+    ):
+        """(sam2_video_predictor.py:148-255)."""
+        state = inference_state
+        obj_idx = self._obj_id_to_idx(state, obj_id)
+        points = np.asarray(points, np.float32)
+        labels = np.asarray(labels, np.int32)
+        if points.ndim == 2:
+            points = points[None]
+        if labels.ndim == 1:
+            labels = labels[None]
+        if normalize_coords:
+            points = points / np.asarray(
+                [state["video_width"], state["video_height"]], np.float32
+            )
+        points = points * self.cfg.image_size
+
+        if not clear_old_points:
+            old = state["point_inputs_per_obj"][obj_idx].get(frame_idx)
+            if old is not None:
+                points = np.concatenate([old["point_coords"], points], axis=1)
+                labels = np.concatenate([old["point_labels"], labels], axis=1)
+        point_inputs = {"point_coords": points, "point_labels": labels}
+        state["point_inputs_per_obj"][obj_idx][frame_idx] = point_inputs
+        state["mask_inputs_per_obj"][obj_idx].pop(frame_idx, None)
+
+        is_init_cond_frame = frame_idx not in state["frames_already_tracked"]
+        if is_init_cond_frame:
+            reverse = False
+        else:
+            reverse = state["frames_already_tracked"][frame_idx]["reverse"]
+        obj_output_dict = state["output_dict_per_obj"][obj_idx]
+        obj_temp = state["temp_output_dict_per_obj"][obj_idx]
+        is_cond = is_init_cond_frame or self.cfg.add_all_frames_to_correct_as_cond
+        storage_key = "cond_frame_outputs" if is_cond else "non_cond_frame_outputs"
+
+        prev_sam_mask_logits = None
+        prev_out = obj_temp[storage_key].get(frame_idx)
+        if prev_out is None:
+            prev_out = obj_output_dict["cond_frame_outputs"].get(frame_idx)
+            if prev_out is None:
+                prev_out = obj_output_dict["non_cond_frame_outputs"].get(frame_idx)
+        if prev_out is not None and prev_out.get("pred_masks") is not None:
+            prev_sam_mask_logits = np.clip(prev_out["pred_masks"], -32.0, 32.0)
+
+        current_out = self._run_single_frame_inference(
+            state,
+            output_dict=obj_output_dict,
+            frame_idx=frame_idx,
+            batch_size=1,
+            is_init_cond_frame=is_init_cond_frame,
+            point_inputs=point_inputs,
+            mask_inputs=None,
+            reverse=reverse,
+            run_mem_encoder=False,
+            prev_sam_mask_logits=prev_sam_mask_logits,
+        )
+        obj_temp[storage_key][frame_idx] = current_out
+
+        obj_ids = state["obj_ids"]
+        consolidated = self._consolidate_temp_output_across_obj(
+            state, frame_idx, is_cond=is_cond, run_mem_encoder=False
+        )
+        _, video_res_masks = self._get_orig_video_res_output(
+            state, consolidated["pred_masks_video_res"]
+        )
+        return frame_idx, obj_ids, video_res_masks
+
+    add_new_points_or_box = add_new_points
+
+    def add_new_mask(self, inference_state: dict, frame_idx: int, obj_id: int, mask):
+        """(sam2_video_predictor.py:257-336). mask: (H, W) bool/0-1."""
+        state = inference_state
+        obj_idx = self._obj_id_to_idx(state, obj_id)
+        mask = np.asarray(mask)
+        assert mask.ndim == 2
+        mh, mw = mask.shape
+        mask_f = mask.astype(np.float32)[None, None]  # (1,1,H,W)
+        if (mh, mw) != (self.cfg.image_size, self.cfg.image_size):
+            from sam2unet_tpu.ops.resize_np import resize_np
+
+            mask_f = resize_np(
+                mask_f, (self.cfg.image_size, self.cfg.image_size), "bilinear",
+                antialias=True,
+            )
+            mask_f = (mask_f >= 0.5).astype(np.float32)
+        state["mask_inputs_per_obj"][obj_idx][frame_idx] = mask_f
+        state["point_inputs_per_obj"][obj_idx].pop(frame_idx, None)
+
+        is_init_cond_frame = frame_idx not in state["frames_already_tracked"]
+        reverse = (
+            False
+            if is_init_cond_frame
+            else state["frames_already_tracked"][frame_idx]["reverse"]
+        )
+        obj_output_dict = state["output_dict_per_obj"][obj_idx]
+        obj_temp = state["temp_output_dict_per_obj"][obj_idx]
+        is_cond = is_init_cond_frame or self.cfg.add_all_frames_to_correct_as_cond
+        storage_key = "cond_frame_outputs" if is_cond else "non_cond_frame_outputs"
+
+        current_out = self._run_single_frame_inference(
+            state,
+            output_dict=obj_output_dict,
+            frame_idx=frame_idx,
+            batch_size=1,
+            is_init_cond_frame=is_init_cond_frame,
+            point_inputs=None,
+            mask_inputs=mask_f,
+            reverse=reverse,
+            run_mem_encoder=False,
+        )
+        obj_temp[storage_key][frame_idx] = current_out
+
+        consolidated = self._consolidate_temp_output_across_obj(
+            state, frame_idx, is_cond=is_cond, run_mem_encoder=False
+        )
+        _, video_res_masks = self._get_orig_video_res_output(
+            state, consolidated["pred_masks_video_res"]
+        )
+        return frame_idx, state["obj_ids"], video_res_masks
+
+    # ------------------------------------------------------------ outputs
+
+    def _get_orig_video_res_output(self, state, any_res_masks):
+        """(sam2_video_predictor.py:338-358): resize to original video res,
+        optional non-overlap constraint."""
+        from sam2unet_tpu.ops.resize_np import resize_np
+
+        h, w = state["video_height"], state["video_width"]
+        masks = np.asarray(any_res_masks, np.float32)
+        if masks.shape[-2:] != (h, w):
+            video_res = resize_np(masks, (h, w), "bilinear")
+        else:
+            video_res = masks
+        if self.non_overlap_masks:
+            video_res = np.asarray(
+                SAM2Base.apply_non_overlapping_constraints(jnp.asarray(video_res))
+            )
+        return masks, video_res
+
+    def _consolidate_temp_output_across_obj(
+        self, state, frame_idx, is_cond, run_mem_encoder,
+        consolidate_at_video_res=False,
+    ):
+        """(sam2_video_predictor.py:360-476): merge per-object temp outputs
+        into a cross-object consolidated output on this frame."""
+        batch_size = len(state["obj_idx_to_id"])
+        storage_key = "cond_frame_outputs" if is_cond else "non_cond_frame_outputs"
+        s = self.cfg.image_size // 4
+        consolidated = {
+            "maskmem_features": None,
+            "maskmem_pos_enc": None,
+            "pred_masks": np.full((batch_size, 1, s, s), NO_OBJ_SCORE, np.float32),
+            "obj_ptr": np.full(
+                (batch_size, self.cfg.hidden_dim), NO_OBJ_SCORE, np.float32
+            ),
+        }
+        for obj_idx in range(batch_size):
+            obj_temp = state["temp_output_dict_per_obj"][obj_idx]
+            out = obj_temp[storage_key].get(frame_idx)
+            if out is None:
+                out = state["output_dict_per_obj"][obj_idx][
+                    "cond_frame_outputs"
+                ].get(frame_idx)
+            if out is None:
+                out = state["output_dict_per_obj"][obj_idx][
+                    "non_cond_frame_outputs"
+                ].get(frame_idx)
+            if out is None:
+                continue
+            consolidated["pred_masks"][obj_idx : obj_idx + 1] = out["pred_masks"]
+            consolidated["obj_ptr"][obj_idx : obj_idx + 1] = out["obj_ptr"]
+
+        # video-res masks for return
+        from sam2unet_tpu.ops.resize_np import resize_np
+
+        hi = resize_np(
+            consolidated["pred_masks"],
+            (self.cfg.image_size, self.cfg.image_size),
+            "bilinear",
+        )
+        consolidated["pred_masks_video_res"] = consolidated["pred_masks"]
+
+        if run_mem_encoder:
+            if self.non_overlap_masks_for_mem(batch_size):
+                hi = np.asarray(
+                    SAM2Base.apply_non_overlapping_constraints(jnp.asarray(hi))
+                )
+            feats, pos = self._run_memory_encoder(
+                state, frame_idx, batch_size, hi, is_mask_from_pts=True
+            )
+            consolidated["maskmem_features"] = feats
+            consolidated["maskmem_pos_enc"] = pos
+        return consolidated
+
+    def non_overlap_masks_for_mem(self, batch_size: int) -> bool:
+        return batch_size > 1
+
+    # ---------------------------------------------------------- main loop
+
+    def propagate_in_video_preflight(self, state: dict):
+        """(sam2_video_predictor.py:514-582)."""
+        state["tracking_has_started"] = True
+        batch_size = len(state["obj_idx_to_id"])
+        assert batch_size > 0, "add inputs before propagation"
+
+        temp_frame_inds = {"cond_frame_outputs": set(),
+                           "non_cond_frame_outputs": set()}
+        for obj_temp in state["temp_output_dict_per_obj"].values():
+            temp_frame_inds["cond_frame_outputs"].update(
+                obj_temp["cond_frame_outputs"]
+            )
+            temp_frame_inds["non_cond_frame_outputs"].update(
+                obj_temp["non_cond_frame_outputs"]
+            )
+
+        for is_cond in (False, True):
+            storage_key = (
+                "cond_frame_outputs" if is_cond else "non_cond_frame_outputs"
+            )
+            for frame_idx in sorted(temp_frame_inds[storage_key]):
+                consolidated = self._consolidate_temp_output_across_obj(
+                    state, frame_idx, is_cond=is_cond, run_mem_encoder=True
+                )
+                state["output_dict"][storage_key][frame_idx] = consolidated
+                self._add_output_per_object(
+                    state, frame_idx, consolidated, storage_key
+                )
+                clear_non_cond = self.clear_non_cond_mem_around_input and (
+                    self.clear_non_cond_mem_for_multi_obj or batch_size <= 1
+                )
+                if clear_non_cond:
+                    self._clear_non_cond_mem_around_input(state, frame_idx)
+            for obj_temp in state["temp_output_dict_per_obj"].values():
+                obj_temp[storage_key].clear()
+
+        # cond frames override non-cond entries
+        for frame_idx in state["output_dict"]["cond_frame_outputs"]:
+            state["output_dict"]["non_cond_frame_outputs"].pop(frame_idx, None)
+            for obj_out in state["output_dict_per_obj"].values():
+                obj_out["non_cond_frame_outputs"].pop(frame_idx, None)
+        state["consolidated_frame_inds"]["cond_frame_outputs"] = set(
+            state["output_dict"]["cond_frame_outputs"]
+        )
+        state["consolidated_frame_inds"]["non_cond_frame_outputs"] = set(
+            state["output_dict"]["non_cond_frame_outputs"]
+        )
+
+    def propagate_in_video(
+        self,
+        inference_state: dict,
+        start_frame_idx: int | None = None,
+        max_frame_num_to_track: int | None = None,
+        reverse: bool = False,
+    ):
+        """Generator over (frame_idx, obj_ids, video_res_masks)
+        (sam2_video_predictor.py:584-667)."""
+        state = inference_state
+        self.propagate_in_video_preflight(state)
+
+        output_dict = state["output_dict"]
+        num_frames = state["num_frames"]
+        batch_size = len(state["obj_idx_to_id"])
+        if len(output_dict["cond_frame_outputs"]) == 0:
+            raise RuntimeError("No points provided; please add points first")
+
+        if start_frame_idx is None:
+            start_frame_idx = min(output_dict["cond_frame_outputs"])
+        if max_frame_num_to_track is None:
+            max_frame_num_to_track = num_frames
+        if reverse:
+            end_frame_idx = max(start_frame_idx - max_frame_num_to_track, 0)
+            processing_order = (
+                range(start_frame_idx, end_frame_idx - 1, -1)
+                if start_frame_idx > 0
+                else []
+            )
+        else:
+            end_frame_idx = min(
+                start_frame_idx + max_frame_num_to_track, num_frames - 1
+            )
+            processing_order = range(start_frame_idx, end_frame_idx + 1)
+
+        for frame_idx in processing_order:
+            if frame_idx in state["consolidated_frame_inds"]["cond_frame_outputs"]:
+                storage_key = "cond_frame_outputs"
+                current_out = output_dict[storage_key][frame_idx]
+                pred_masks = current_out["pred_masks"]
+                clear_non_cond = self.clear_non_cond_mem_around_input and (
+                    self.clear_non_cond_mem_for_multi_obj or batch_size <= 1
+                )
+                if clear_non_cond:
+                    self._clear_non_cond_mem_around_input(state, frame_idx)
+            elif frame_idx in state["consolidated_frame_inds"][
+                "non_cond_frame_outputs"
+            ]:
+                storage_key = "non_cond_frame_outputs"
+                current_out = output_dict[storage_key][frame_idx]
+                pred_masks = current_out["pred_masks"]
+            else:
+                storage_key = "non_cond_frame_outputs"
+                current_out = self._run_single_frame_inference(
+                    state,
+                    output_dict=output_dict,
+                    frame_idx=frame_idx,
+                    batch_size=batch_size,
+                    is_init_cond_frame=False,
+                    point_inputs=None,
+                    mask_inputs=None,
+                    reverse=reverse,
+                    run_mem_encoder=True,
+                )
+                output_dict[storage_key][frame_idx] = current_out
+                self._add_output_per_object(
+                    state, frame_idx, current_out, storage_key
+                )
+                pred_masks = current_out["pred_masks"]
+            state["frames_already_tracked"][frame_idx] = {"reverse": reverse}
+            _, video_res_masks = self._get_orig_video_res_output(state, pred_masks)
+            yield frame_idx, state["obj_ids"], video_res_masks
+
+    def _add_output_per_object(self, state, frame_idx, current_out, storage_key):
+        """(sam2_video_predictor.py:669-696)."""
+        maskmem_features = current_out["maskmem_features"]
+        maskmem_pos_enc = current_out["maskmem_pos_enc"]
+        for obj_idx in state["output_dict_per_obj"]:
+            sl = slice(obj_idx, obj_idx + 1)
+            obj_out = {
+                "maskmem_features": None,
+                "maskmem_pos_enc": None,
+                "pred_masks": current_out["pred_masks"][sl],
+                "obj_ptr": current_out["obj_ptr"][sl],
+            }
+            if maskmem_features is not None:
+                obj_out["maskmem_features"] = maskmem_features[sl]
+                obj_out["maskmem_pos_enc"] = maskmem_pos_enc
+            state["output_dict_per_obj"][obj_idx][storage_key][frame_idx] = obj_out
+
+    def _clear_non_cond_mem_around_input(self, state, frame_idx):
+        """(sam2_video_predictor.py:881-898)."""
+        r = self.cfg.memory_temporal_stride_for_eval
+        frame_idx_begin = frame_idx - r * self.cfg.num_maskmem
+        frame_idx_end = frame_idx + r * self.cfg.num_maskmem
+        non_cond = state["output_dict"]["non_cond_frame_outputs"]
+        for t in range(frame_idx_begin, frame_idx_end + 1):
+            non_cond.pop(t, None)
+            for obj_out in state["output_dict_per_obj"].values():
+                obj_out["non_cond_frame_outputs"].pop(t, None)
+
+    # ----------------------------------------------------------- features
+
+    def _prepare_frame(self, state, frame_idx) -> np.ndarray:
+        img = state["images"][frame_idx]
+        return self._transforms(img)[None]
+
+    def _get_image_feature(self, state, frame_idx, batch_size):
+        """(sam2_video_predictor.py:698-759) with an LRU of 1 frame."""
+        cached = state["cached_features"].get(frame_idx)
+        if cached is None:
+            x = self._prepare_frame(state, frame_idx)
+            backbone_out = self._jit_forward_image(self.variables, jnp.asarray(x))
+            state["cached_features"] = {frame_idx: backbone_out}
+            cached = backbone_out
+        fpn = cached["backbone_fpn"]
+        pos = cached["vision_pos_enc"]
+        if batch_size > 1:
+            fpn = [jnp.repeat(f, batch_size, axis=0) for f in fpn]
+            pos = [jnp.repeat(p, batch_size, axis=0) for p in pos]
+        return fpn, pos
+
+    # ----------------------------------------------------- frame tracking
+
+    def _gather_memory(self, state, output_dict, frame_idx, batch_size,
+                       track_in_reverse):
+        """Host half of _prepare_memory_conditioned_features
+        (sam2_base.py:504-662): select frames, assemble fixed-shape memory
+        token stacks."""
+        cfg = self.cfg
+        params = self.variables["params"]
+        cond_outputs = output_dict["cond_frame_outputs"]
+        selected_cond, unselected_cond = select_closest_cond_frames(
+            frame_idx, cond_outputs, cfg.max_cond_frames_in_attn
+        )
+        t_pos_and_prevs = [(0, out) for out in selected_cond.values()]
+        r = cfg.memory_temporal_stride_for_eval
+        for t_pos in range(1, cfg.num_maskmem):
+            t_rel = cfg.num_maskmem - t_pos
+            if t_rel == 1:
+                prev_frame_idx = (
+                    frame_idx + t_rel if track_in_reverse else frame_idx - t_rel
+                )
+            elif not track_in_reverse:
+                prev_frame_idx = ((frame_idx - 2) // r) * r - (t_rel - 2) * r
+            else:
+                prev_frame_idx = -(-(frame_idx + 2) // r) * r + (t_rel - 2) * r
+            out = output_dict["non_cond_frame_outputs"].get(prev_frame_idx)
+            if out is None:
+                out = unselected_cond.get(prev_frame_idx)
+            t_pos_and_prevs.append((t_pos, out))
+
+        mems, mem_pos = [], []
+        tpos_enc = np.asarray(params["maskmem_tpos_enc"], np.float32)
+        for t_pos, prev in t_pos_and_prevs:
+            if prev is None:
+                continue
+            feats = np.asarray(prev["maskmem_features"], np.float32)
+            b, h, w, c = feats.shape
+            mems.append(feats.reshape(b, h * w, c))
+            enc = np.asarray(prev["maskmem_pos_enc"][-1], np.float32)
+            enc = np.broadcast_to(enc.reshape(1, h * w, c), (b, h * w, c))
+            enc = enc + tpos_enc[cfg.num_maskmem - t_pos - 1].reshape(1, 1, c)
+            mem_pos.append(enc)
+
+        num_obj_ptr_tokens = 0
+        if cfg.use_obj_ptrs_in_encoder:
+            max_ptrs = min(state["num_frames"], cfg.max_obj_ptrs_in_encoder)
+            if cfg.only_obj_ptrs_in_the_past_for_eval:
+                ptr_cond = {
+                    t: out for t, out in selected_cond.items()
+                    if (t >= frame_idx if track_in_reverse else t <= frame_idx)
+                }
+            else:
+                ptr_cond = selected_cond
+            pos_and_ptrs = [
+                (abs(frame_idx - t), out["obj_ptr"]) for t, out in ptr_cond.items()
+            ]
+            for t_diff in range(1, max_ptrs):
+                t = frame_idx + t_diff if track_in_reverse else frame_idx - t_diff
+                if t < 0 or t >= state["num_frames"]:
+                    break
+                out = output_dict["non_cond_frame_outputs"].get(
+                    t, unselected_cond.get(t)
+                )
+                if out is not None:
+                    pos_and_ptrs.append((t_diff, out["obj_ptr"]))
+            if pos_and_ptrs:
+                pos_list, ptr_list = zip(*pos_and_ptrs)
+                obj_ptrs = np.stack(
+                    [np.asarray(p, np.float32) for p in ptr_list], axis=1
+                )  # (B, P, C)
+                C, mem_dim = cfg.hidden_dim, cfg.mem_dim
+                if cfg.add_tpos_enc_to_obj_ptrs:
+                    t_diff_max = max_ptrs - 1
+                    tdim = C if cfg.proj_tpos_enc_in_obj_ptrs else mem_dim
+                    obj_pos = np.asarray(
+                        get_1d_sine_pe(
+                            jnp.asarray(pos_list, jnp.float32) / t_diff_max, tdim
+                        ),
+                        np.float32,
+                    )
+                    if cfg.proj_tpos_enc_in_obj_ptrs:
+                        w_ = np.asarray(params["obj_ptr_tpos_proj"]["kernel"])
+                        b_ = np.asarray(params["obj_ptr_tpos_proj"]["bias"])
+                        obj_pos = obj_pos @ w_ + b_
+                    obj_pos = np.broadcast_to(
+                        obj_pos[None], (batch_size, len(pos_list), mem_dim)
+                    )
+                else:
+                    obj_pos = np.zeros(
+                        (batch_size, len(pos_list), mem_dim), np.float32
+                    )
+                if mem_dim < C:
+                    split = C // mem_dim
+                    obj_ptrs = obj_ptrs.reshape(
+                        batch_size, -1, split, mem_dim
+                    ).reshape(batch_size, -1, mem_dim)
+                    obj_pos = np.repeat(obj_pos, split, axis=1)
+                mems.append(obj_ptrs)
+                mem_pos.append(obj_pos)
+                num_obj_ptr_tokens = obj_ptrs.shape[1]
+
+        memory = np.concatenate(mems, axis=1)
+        memory_pos = np.concatenate(mem_pos, axis=1)
+        return memory, memory_pos, num_obj_ptr_tokens
+
+    def _run_single_frame_inference(
+        self,
+        state,
+        output_dict,
+        frame_idx,
+        batch_size,
+        is_init_cond_frame,
+        point_inputs,
+        mask_inputs,
+        reverse,
+        run_mem_encoder,
+        prev_sam_mask_logits=None,
+    ):
+        """track_step (sam2_base.py:704-799) orchestrated on the host."""
+        cfg = self.cfg
+        fpn, pos = self._get_image_feature(state, frame_idx, batch_size)
+        high_res = (fpn[0], fpn[1])
+        top_feat, top_pos = fpn[-1], pos[-1]
+
+        if mask_inputs is not None and cfg.use_mask_input_as_output_without_sam:
+            mi = jnp.asarray(
+                np.broadcast_to(
+                    mask_inputs.transpose(0, 2, 3, 1),
+                    (batch_size, cfg.image_size, cfg.image_size, 1),
+                )
+            )
+            sam_outputs = self._jit_mask_as_output(
+                self.variables, top_feat, high_res[0], high_res[1], mi
+            )
+        else:
+            if is_init_cond_frame:
+                pix_feat = self._jit_condition_init(
+                    self.variables, top_feat, top_pos
+                )
+            else:
+                memory, memory_pos, nptr = self._gather_memory(
+                    state, output_dict, frame_idx, batch_size, reverse
+                )
+                pix_feat = self._jit_condition(
+                    self.variables, top_feat, top_pos,
+                    jnp.asarray(memory), jnp.asarray(memory_pos), nptr,
+                )
+            mi = None
+            if prev_sam_mask_logits is not None:
+                mi = jnp.asarray(
+                    np.asarray(prev_sam_mask_logits, np.float32).transpose(0, 2, 3, 1)
+                )
+            if point_inputs is not None:
+                coords = jnp.asarray(point_inputs["point_coords"])
+                labels = jnp.asarray(point_inputs["point_labels"])
+                num_pts = point_inputs["point_labels"].shape[1]
+            else:
+                coords = jnp.zeros((batch_size, 1, 2), jnp.float32)
+                labels = -jnp.ones((batch_size, 1), jnp.int32)
+                num_pts = 0
+            multimask = self.model.use_multimask(is_init_cond_frame, num_pts)
+            sam_outputs = self._jit_heads(
+                self.variables, pix_feat, coords, labels, mi,
+                high_res[0], high_res[1], multimask,
+            )
+
+        _, _, _, low_res_masks, high_res_masks, obj_ptr, _ = sam_outputs
+        current_out = {
+            "point_inputs": point_inputs,
+            "mask_inputs": mask_inputs,
+            "pred_masks": np.asarray(low_res_masks, np.float32),
+            "pred_masks_high_res": np.asarray(high_res_masks, np.float32),
+            "obj_ptr": np.asarray(obj_ptr, np.float32),
+            "maskmem_features": None,
+            "maskmem_pos_enc": None,
+        }
+        if run_mem_encoder and cfg.num_maskmem > 0:
+            feats, penc = self._run_memory_encoder_feats(
+                top_feat, np.asarray(high_res_masks, np.float32),
+                is_mask_from_pts=(point_inputs is not None),
+            )
+            current_out["maskmem_features"] = feats
+            current_out["maskmem_pos_enc"] = penc
+        return current_out
+
+    def _run_memory_encoder_feats(self, top_feat, high_res_masks, is_mask_from_pts):
+        feats, pos = self._jit_encode_memory(
+            self.variables, top_feat, jnp.asarray(high_res_masks),
+            is_mask_from_pts,
+        )
+        return np.asarray(feats, np.float32), [np.asarray(p, np.float32)
+                                               for p in pos]
+
+    def _run_memory_encoder(self, state, frame_idx, batch_size, high_res_masks,
+                            is_mask_from_pts):
+        fpn, _ = self._get_image_feature(state, frame_idx, batch_size)
+        return self._run_memory_encoder_feats(
+            fpn[-1], high_res_masks, is_mask_from_pts
+        )

@@ -1,0 +1,278 @@
+"""Utilities for the automatic mask generator (sam2/utils/amg.py:18-348).
+
+Numpy-first: these run host-side around the jitted predictor programs.
+RLE follows the pycocotools uncompressed format (column-major runs starting
+with background).
+"""
+
+from __future__ import annotations
+
+import math
+from copy import deepcopy
+from itertools import product
+
+import numpy as np
+
+
+class MaskData:
+    """Dict of batched tensors/lists with filter/cat/update (amg.py:18-77)."""
+
+    def __init__(self, **kwargs):
+        for v in kwargs.values():
+            assert isinstance(v, (list, np.ndarray))
+        self._stats = dict(**kwargs)
+
+    def __setitem__(self, key, item):
+        self._stats[key] = item
+
+    def __delitem__(self, key):
+        del self._stats[key]
+
+    def __getitem__(self, key):
+        return self._stats[key]
+
+    def items(self):
+        return self._stats.items()
+
+    def filter(self, keep: np.ndarray) -> None:
+        for k, v in self._stats.items():
+            if v is None:
+                continue
+            if isinstance(v, np.ndarray):
+                self._stats[k] = v[keep]
+            elif isinstance(v, list) and keep.dtype == bool:
+                self._stats[k] = [a for i, a in enumerate(v) if keep[i]]
+            elif isinstance(v, list):
+                self._stats[k] = [v[i] for i in keep]
+
+    def cat(self, new_stats: "MaskData") -> None:
+        for k, v in new_stats.items():
+            if k not in self._stats or self._stats[k] is None:
+                self._stats[k] = deepcopy(v)
+            elif isinstance(v, np.ndarray):
+                self._stats[k] = np.concatenate([self._stats[k], v], axis=0)
+            elif isinstance(v, list):
+                self._stats[k] = self._stats[k] + deepcopy(v)
+
+    def to_numpy(self) -> None:
+        pass  # already numpy
+
+
+def is_box_near_crop_edge(boxes, crop_box, orig_box, atol=20.0) -> np.ndarray:
+    crop = np.asarray(crop_box, np.float32)
+    orig = np.asarray(orig_box, np.float32)
+    boxes = uncrop_boxes_xyxy(boxes, crop_box).astype(np.float32)
+    near_crop = np.isclose(boxes, crop[None], atol=atol, rtol=0)
+    near_image = np.isclose(boxes, orig[None], atol=atol, rtol=0)
+    near_crop = near_crop & ~near_image
+    return np.any(near_crop, axis=1)
+
+
+def batch_iterator(batch_size: int, *args):
+    assert len(args) > 0 and all(len(a) == len(args[0]) for a in args)
+    n_batches = len(args[0]) // batch_size + int(len(args[0]) % batch_size != 0)
+    for b in range(n_batches):
+        yield [arg[b * batch_size : (b + 1) * batch_size] for arg in args]
+
+
+def mask_to_rle(tensor: np.ndarray) -> list[dict]:
+    """(B, H, W) binary -> uncompressed RLE dicts (amg.py:109-138)."""
+    b, h, w = tensor.shape
+    flat = tensor.transpose(0, 2, 1).reshape(b, -1)  # column-major (F order)
+    out = []
+    for i in range(b):
+        row = flat[i].astype(np.int64)
+        change = np.nonzero(row[1:] != row[:-1])[0] + 1
+        idx = np.concatenate([[0], change, [h * w]])
+        lengths = np.diff(idx).tolist()
+        if row[0] == 1:
+            lengths = [0] + lengths
+        out.append({"size": [h, w], "counts": lengths})
+    return out
+
+
+def rle_to_mask(rle: dict) -> np.ndarray:
+    """(amg.py:141-153)."""
+    h, w = rle["size"]
+    mask = np.empty(h * w, dtype=bool)
+    idx = 0
+    parity = False
+    for count in rle["counts"]:
+        mask[idx : idx + count] = parity
+        idx += count
+        parity = not parity
+    return mask.reshape(w, h).T
+
+
+def area_from_rle(rle: dict) -> int:
+    return sum(rle["counts"][1::2])
+
+
+def calculate_stability_score(
+    masks: np.ndarray, mask_threshold: float, threshold_offset: float
+) -> np.ndarray:
+    """IoU between high/low-thresholded masks (amg.py:158-178)."""
+    intersections = (
+        (masks > (mask_threshold + threshold_offset)).sum(-1).sum(-1)
+    ).astype(np.float64)
+    unions = ((masks > (mask_threshold - threshold_offset)).sum(-1).sum(-1)).astype(
+        np.float64
+    )
+    return np.where(unions > 0, intersections / np.maximum(unions, 1), 1.0)
+
+
+def build_point_grid(n_per_side: int) -> np.ndarray:
+    offset = 1 / (2 * n_per_side)
+    points_one_side = np.linspace(offset, 1 - offset, n_per_side)
+    points_x = np.tile(points_one_side[None, :], (n_per_side, 1))
+    points_y = np.tile(points_one_side[:, None], (1, n_per_side))
+    return np.stack([points_x, points_y], axis=-1).reshape(-1, 2)
+
+
+def build_all_layer_point_grids(n_per_side, n_layers, scale_per_layer):
+    return [
+        build_point_grid(int(n_per_side / (scale_per_layer**i)))
+        for i in range(n_layers + 1)
+    ]
+
+
+def generate_crop_boxes(im_size, n_layers, overlap_ratio):
+    """(amg.py:205-237): crop boxes XYWH->XYXY per layer + layer indices."""
+    crop_boxes, layer_idxs = [], []
+    im_h, im_w = im_size
+    short_side = min(im_h, im_w)
+    crop_boxes.append([0, 0, im_w, im_h])
+    layer_idxs.append(0)
+
+    def crop_len(orig_len, n_crops, overlap):
+        return int(math.ceil((overlap * (n_crops - 1) + orig_len) / n_crops))
+
+    for i_layer in range(n_layers):
+        n_crops_per_side = 2 ** (i_layer + 1)
+        overlap = int(overlap_ratio * short_side * (2 / n_crops_per_side))
+        crop_w = crop_len(im_w, n_crops_per_side, overlap)
+        crop_h = crop_len(im_h, n_crops_per_side, overlap)
+        crop_box_x0 = [int((crop_w - overlap) * i) for i in range(n_crops_per_side)]
+        crop_box_y0 = [int((crop_h - overlap) * i) for i in range(n_crops_per_side)]
+        for x0, y0 in product(crop_box_x0, crop_box_y0):
+            box = [x0, y0, min(x0 + crop_w, im_w), min(y0 + crop_h, im_h)]
+            crop_boxes.append(box)
+            layer_idxs.append(i_layer + 1)
+    return crop_boxes, layer_idxs
+
+
+def uncrop_boxes_xyxy(boxes: np.ndarray, crop_box) -> np.ndarray:
+    x0, y0, _, _ = crop_box
+    return np.asarray(boxes) + np.asarray([[x0, y0, x0, y0]])
+
+
+def uncrop_points(points: np.ndarray, crop_box) -> np.ndarray:
+    x0, y0, _, _ = crop_box
+    return np.asarray(points) + np.asarray([[x0, y0]])
+
+
+def uncrop_masks(masks: np.ndarray, crop_box, orig_h, orig_w) -> np.ndarray:
+    x0, y0, x1, y1 = crop_box
+    if x0 == 0 and y0 == 0 and x1 == orig_w and y1 == orig_h:
+        return masks
+    pad = (
+        (0, 0),
+        (y0, orig_h - y1),
+        (x0, orig_w - x1),
+    )
+    return np.pad(masks, pad)
+
+
+def remove_small_regions(mask: np.ndarray, area_thresh: float, mode: str):
+    """Fill small holes/islands via the framework CCL (amg.py:269-293;
+    replaces the reference's cv2.connectedComponentsWithStats)."""
+    from sam2unet_tpu.ops.connected_components import label_components_native
+
+    assert mode in ("holes", "islands")
+    correct_holes = mode == "holes"
+    working = (correct_holes ^ mask).astype(np.uint8)
+    labels, counts = label_components_native(working[None, None])
+    labels, counts = labels[0, 0], counts[0, 0]
+    n = int(labels.max())
+    small = [i for i in range(1, n + 1)
+             if 0 < counts[labels == i].flat[0] < area_thresh]
+    if not small:
+        return mask, False
+    fill = np.isin(labels, small)
+    mask = mask | fill if correct_holes else mask & ~fill
+    return mask, True
+
+
+def coco_encode_rle(uncompressed_rle: dict) -> dict:
+    try:
+        from pycocotools import mask as mask_utils  # type: ignore
+
+        h, w = uncompressed_rle["size"]
+        rle = mask_utils.frPyObjects(uncompressed_rle, h, w)
+        rle["counts"] = rle["counts"].decode("utf-8")
+        return rle
+    except ImportError as e:  # pragma: no cover - optional dependency
+        raise ImportError("pycocotools is required for COCO RLE output") from e
+
+
+def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
+    """(amg.py:305-348): XYXY boxes around masks; zeros for empty masks."""
+    if masks.size == 0:
+        return np.zeros((*masks.shape[:-2], 4), np.float32)
+    shape = masks.shape
+    h, w = shape[-2:]
+    flat = masks.reshape(-1, h, w).astype(bool)
+
+    in_height = np.max(flat, axis=-1)
+    in_height_coords = in_height * np.arange(h)[None]
+    bottom_edges = np.max(in_height_coords, axis=-1)
+    in_height_coords = in_height_coords + h * (~in_height)
+    top_edges = np.min(in_height_coords, axis=-1)
+
+    in_width = np.max(flat, axis=-2)
+    in_width_coords = in_width * np.arange(w)[None]
+    right_edges = np.max(in_width_coords, axis=-1)
+    in_width_coords = in_width_coords + w * (~in_width)
+    left_edges = np.min(in_width_coords, axis=-1)
+
+    empty = (right_edges < left_edges) | (bottom_edges < top_edges)
+    out = np.stack([left_edges, top_edges, right_edges, bottom_edges], axis=-1)
+    out = out * (~empty)[..., None]
+    return out.reshape(*shape[:-2], 4).astype(np.float32)
+
+
+def box_xyxy_to_xywh(box: np.ndarray) -> np.ndarray:
+    box = np.asarray(box, np.float32).copy()
+    box[2] = box[2] - box[0]
+    box[3] = box[3] - box[1]
+    return box
+
+
+def batched_nms(boxes: np.ndarray, scores: np.ndarray, idxs: np.ndarray,
+                iou_threshold: float) -> np.ndarray:
+    """Category-aware greedy NMS (torchvision.ops.batched_nms equivalent)."""
+    if len(boxes) == 0:
+        return np.zeros(0, np.int64)
+    # offset boxes per category so cross-category boxes never overlap
+    max_coord = boxes.max() + 1
+    offsets = idxs.astype(np.float32) * max_coord
+    shifted = boxes + offsets[:, None]
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    x0, y0, x1, y1 = shifted[:, 0], shifted[:, 1], shifted[:, 2], shifted[:, 3]
+    areas = np.maximum(0, x1 - x0) * np.maximum(0, y1 - y0)
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx0 = np.maximum(x0[i], x0)
+        yy0 = np.maximum(y0[i], y0)
+        xx1 = np.minimum(x1[i], x1)
+        yy1 = np.minimum(y1[i], y1)
+        inter = np.maximum(0, xx1 - xx0) * np.maximum(0, yy1 - yy0)
+        union = areas[i] + areas - inter
+        iou = np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+        suppressed |= iou > iou_threshold
+        suppressed[i] = True
+    return np.asarray(keep, np.int64)

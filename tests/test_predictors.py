@@ -1,0 +1,138 @@
+"""Smoke/behavior tests for SAM2 predictors with a tiny model."""
+
+import numpy as np
+import pytest
+
+from sam2unet_tpu.configs import HIERA_TEST
+from sam2unet_tpu.models.sam2_base import SAM2Config
+
+TINY_SAM2 = SAM2Config(
+    image_size=64,
+    hidden_dim=64,
+    mem_dim=16,
+    max_obj_ptrs_in_encoder=4,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_sam2():
+    from sam2unet_tpu.build_sam import build_sam2
+
+    model, variables = build_sam2(
+        "hiera_test", sam2_config=TINY_SAM2, trunk_cfg=HIERA_TEST
+    )
+    return model, variables
+
+
+def test_image_predictor_point_box_mask(tiny_sam2):
+    from sam2unet_tpu.predictors.image_predictor import SAM2ImagePredictor
+
+    model, variables = tiny_sam2
+    pred = SAM2ImagePredictor(model, variables)
+    rng = np.random.default_rng(0)
+    image = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+    pred.set_image(image)
+
+    masks, ious, low = pred.predict(
+        point_coords=np.array([[20.0, 25.0]]), point_labels=np.array([1]),
+        multimask_output=True,
+    )
+    assert masks.shape == (3, 48, 56) and masks.dtype == bool
+    assert ious.shape == (3,)
+    assert low.shape == (3, 16, 16)
+
+    masks_b, ious_b, low_b = pred.predict(
+        box=np.array([5.0, 5.0, 40.0, 40.0]), multimask_output=False,
+    )
+    assert masks_b.shape == (1, 48, 56)
+
+    # mask-input refinement round trip
+    masks2, _, _ = pred.predict(
+        point_coords=np.array([[20.0, 25.0]]), point_labels=np.array([1]),
+        mask_input=low[np.argmax(ious)][None],
+        multimask_output=False,
+    )
+    assert masks2.shape == (1, 48, 56)
+
+
+def test_image_predictor_batch(tiny_sam2):
+    from sam2unet_tpu.predictors.image_predictor import SAM2ImagePredictor
+
+    model, variables = tiny_sam2
+    pred = SAM2ImagePredictor(model, variables)
+    rng = np.random.default_rng(1)
+    imgs = [(rng.random((32, 40, 3)) * 255).astype(np.uint8) for _ in range(2)]
+    pred.set_image_batch(imgs)
+    masks, ious, lows = pred.predict_batch(
+        point_coords_batch=[np.array([[10.0, 10.0]]), np.array([[20.0, 15.0]])],
+        point_labels_batch=[np.array([1]), np.array([1])],
+        multimask_output=True,
+    )
+    assert len(masks) == 2 and masks[0].shape == (3, 32, 40)
+
+
+def test_video_predictor_propagation(tiny_sam2):
+    from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
+
+    model, variables = tiny_sam2
+    pred = SAM2VideoPredictor(model, variables)
+    rng = np.random.default_rng(2)
+    frames = (rng.random((4, 40, 48, 3)) * 255).astype(np.uint8)
+    state = pred.init_state(images=frames)
+    assert state["num_frames"] == 4
+
+    fidx, obj_ids, masks = pred.add_new_points(
+        state, frame_idx=0, obj_id=1,
+        points=np.array([[24.0, 20.0]]), labels=np.array([1]),
+    )
+    assert fidx == 0 and obj_ids == [1]
+    assert masks.shape == (1, 1, 40, 48)
+
+    outputs = {}
+    for frame_idx, ids, video_masks in pred.propagate_in_video(state):
+        outputs[frame_idx] = np.asarray(video_masks)
+    assert sorted(outputs) == [0, 1, 2, 3]
+    assert outputs[2].shape == (1, 1, 40, 48)
+    assert np.isfinite(outputs[3]).all()
+
+
+def test_video_predictor_mask_input_and_multi_object(tiny_sam2):
+    from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
+
+    model, variables = tiny_sam2
+    pred = SAM2VideoPredictor(model, variables)
+    rng = np.random.default_rng(3)
+    frames = (rng.random((3, 40, 48, 3)) * 255).astype(np.uint8)
+    state = pred.init_state(images=frames)
+
+    mask = np.zeros((40, 48), np.uint8)
+    mask[10:25, 10:30] = 1
+    pred.add_new_mask(state, frame_idx=0, obj_id=7, mask=mask)
+    pred.add_new_points(
+        state, frame_idx=0, obj_id=8,
+        points=np.array([[40.0, 35.0]]), labels=np.array([1]),
+    )
+    results = list(pred.propagate_in_video(state))
+    assert len(results) == 3
+    _, ids, masks = results[-1]
+    assert ids == [7, 8]
+    assert masks.shape == (2, 1, 40, 48)
+
+
+def test_amg_generates_records(tiny_sam2):
+    from sam2unet_tpu.predictors.amg import SAM2AutomaticMaskGenerator
+
+    model, variables = tiny_sam2
+    amg = SAM2AutomaticMaskGenerator(
+        model, variables, points_per_side=4, points_per_batch=16,
+        pred_iou_thresh=0.0, stability_score_thresh=0.0,
+    )
+    rng = np.random.default_rng(4)
+    image = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    records = amg.generate(image)
+    assert isinstance(records, list)
+    if records:  # random weights may filter everything via NMS only
+        r = records[0]
+        assert set(r) >= {"segmentation", "area", "bbox", "predicted_iou",
+                          "point_coords", "stability_score", "crop_box"}
+        assert r["segmentation"].shape == (40, 40)
