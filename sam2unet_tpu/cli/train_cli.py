@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_batch_size", type=int, default=0,
                    help="0 = same as batch_size")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a JAX profiler trace of steps 10-14 here")
+    p.add_argument("--resume", type=str, default="",
+                   help="full TrainState checkpoint dir to resume from "
+                        "(optimizer + step included; reference restarts them)")
+    p.add_argument("--save_train_state", action="store_true",
+                   help="also save the full TrainState beside each snapshot")
     return p
 
 
@@ -78,7 +85,14 @@ def main(args) -> None:
         steps_per_epoch=steps_per_epoch,
     )
     mesh = make_mesh()
-    state = replicate(mesh, create_train_state(variables, optimizer))
+    state = create_train_state(variables, optimizer)
+    if args.resume:
+        from sam2unet_tpu.train.checkpoints import restore_train_state
+
+        state = restore_train_state(args.resume, state)
+        print(f"Resumed full train state from {args.resume} "
+              f"(step {int(state.step)})")
+    state = replicate(mesh, state)
     train_step = make_train_step(model, optimizer, mesh=mesh)
     eval_step = make_eval_step(model, mesh=mesh)
 
@@ -89,19 +103,37 @@ def main(args) -> None:
         args.save_path, args.base_mean_iou, args.save_interval, args.epoch
     )
 
+    import time as _time
+
+    import jax as _jax
+
     epoch_loss = 2.0
+    global_step = 0
     for epoch in range(args.epoch):
         print("Training:")
+        t_epoch = _time.perf_counter()
+        n_imgs = 0
         for i, batch in enumerate(
             dataset.epoch(args.batch_size, epoch, num_workers=args.num_workers)
         ):
+            if args.profile_dir and global_step == 10:
+                _jax.profiler.start_trace(args.profile_dir)
             images = shard_batch(mesh, batch.image)
             labels = shard_batch(mesh, batch.label)
             state, metrics = train_step(state, images, labels)
+            n_imgs += batch.valid
+            global_step += 1
+            if args.profile_dir and global_step == 15:
+                _jax.block_until_ready(metrics["loss"])
+                _jax.profiler.stop_trace()
+                print(f"profiler trace written to {args.profile_dir}")
             if i % 10 == 0:
                 epoch_loss = float(metrics["loss"])
                 print(f"epoch-{epoch + 1}-{i + 1}: loss:{epoch_loss}")
         epoch_loss = float(metrics["loss"])
+        dt = _time.perf_counter() - t_epoch
+        print(f"epoch-{epoch + 1}: {n_imgs} imgs in {dt:.1f}s "
+              f"({n_imgs / max(dt, 1e-9):.2f} img/s)")
 
         print("Evaluating", end="")
         eval_vars = state.variables()
@@ -123,7 +155,13 @@ def main(args) -> None:
         final_result = evaluate_dataset(results)
         epoch_name = f"epoch-{epoch + 1}_loss-{epoch_loss:.3f}"
         print_eval_report(final_result, title=epoch_name, log_path=log_path)
-        policy.maybe_save(epoch + 1, epoch_loss, final_result[MIOU], eval_vars)
+        saved = policy.maybe_save(
+            epoch + 1, epoch_loss, final_result[MIOU], eval_vars
+        )
+        if saved and args.save_train_state:
+            from sam2unet_tpu.train.checkpoints import save_train_state
+
+            save_train_state(saved + "_train_state", state)
 
 
 def run() -> None:

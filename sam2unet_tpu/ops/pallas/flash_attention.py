@@ -34,24 +34,35 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_FULL_SEQ = 1024
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # refs: (1, S, D) in VMEM, one grid step per (window*head) row. Mosaic
-    # pipelines grid steps with double-buffered DMA, so small blocks stream.
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, g: int):
+    # refs: (G, S, D) in VMEM; G rows per grid step (statically unrolled) so
+    # the ~1us grid-step overhead amortizes over G*2 matmuls.
+    for i in range(g):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[i] = o.astype(o_ref.dtype)
+
+
+def _pick_group(n: int, sq: int, sk: int, d: int, itemsize: int) -> int:
+    """Largest divisor of n (<= 8) keeping VMEM blocks ~<= 4 MB."""
+    per_row = (2 * sq + 2 * sk) * d * itemsize * 2
+    target = max(1, (4 * 1024 * 1024) // max(per_row, 1))
+    g = min(n, target, 8)
+    while n % g:
+        g -= 1
+    return max(g, 1)
 
 
 def _fused_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -65,19 +76,20 @@ def _fused_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     qf = q.transpose(0, 2, 1, 3).reshape(n, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(n, sk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(n, sk, d)
+    g = _pick_group(n, sq, sk, d, q.dtype.itemsize)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
-        grid=(n,),
+        functools.partial(_kernel, scale=scale, g=g),
+        grid=(n // g,),
         in_specs=[
-            pl.BlockSpec((1, sq, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, sq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, sk, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, sk, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, sq, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, sq, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, sq, d), q.dtype),
         cost_estimate=pl.CostEstimate(
