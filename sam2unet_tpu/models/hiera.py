@@ -28,17 +28,41 @@ from sam2unet_tpu.ops.windowing import window_partition, window_unpartition
 
 
 class MultiScaleAttention(nn.Module):
-    """Attention with optional 2x2 max q-pool (hieradet.py:35-81)."""
+    """Attention with optional 2x2 max q-pool (hieradet.py:35-81).
 
+    Split into `project_qkv` / `attend` so the block can fuse the pre-norm
+    into the QKV matmul (one Pallas kernel over the un-partitioned tensor)
+    and window-partition the projected qkv instead of the activations."""
+
+    dim: int
     dim_out: int
     num_heads: int
     q_stride: tuple[int, int] | None = None
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, _ = x.shape
-        qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
+    def setup(self):
+        from sam2unet_tpu.nn.layers import _DenseParams
+
+        self.qkv = _DenseParams(self.dim, 3 * self.dim_out)
+        self.proj = _DenseParams(self.dim_out, self.dim_out)
+
+    def project_qkv(self, x: jnp.ndarray, ln_scale=None, ln_bias=None):
+        """x: (..., dim) -> (..., 3*dim_out); optional fused pre-norm."""
+        if ln_scale is not None:
+            from sam2unet_tpu.ops.pallas.fused_mlp import fused_ln_matmul
+
+            return fused_ln_matmul(
+                x.astype(self.dtype), self.qkv.kernel, self.qkv.bias,
+                ln_scale, ln_bias,
+            )
+        y = jnp.dot(
+            x.astype(self.dtype), self.qkv.kernel.astype(self.dtype)
+        )
+        return y + self.qkv.bias.astype(self.dtype)
+
+    def attend(self, qkv: jnp.ndarray) -> jnp.ndarray:
+        """qkv: (B', h, w, 3*dim_out) (windowed or full grid)."""
+        b, h, w, _ = qkv.shape
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, -1)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -50,7 +74,11 @@ class MultiScaleAttention(nn.Module):
 
         o = sdpa(q, k, v)  # (B, S, heads, head_dim)
         o = o.reshape(b, h, w, -1)
-        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(o)
+        o = jnp.dot(o, self.proj.kernel.astype(self.dtype))
+        return o + self.proj.bias.astype(self.dtype)
+
+    def __call__(self, x: jnp.ndarray, ln_scale=None, ln_bias=None):
+        return self.attend(self.project_qkv(x, ln_scale, ln_bias))
 
 
 class MultiScaleBlock(nn.Module):
@@ -67,40 +95,75 @@ class MultiScaleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from sam2unet_tpu.nn.layers import LNParams
+        from sam2unet_tpu.ops.windowing import window_partition_fill
+
+        attn = MultiScaleAttention(
+            self.dim, self.dim_out, self.num_heads, self.q_stride,
+            self.dtype, name="attn",
+        )
         shortcut = x
-        x = layer_norm(self.dtype, name="norm1")(x)
-
-        if self.dim != self.dim_out:
-            shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
-            if self.q_stride is not None:
-                shortcut = max_pool2d(shortcut, self.q_stride[0], self.q_stride[0])
-
         h, w = x.shape[1], x.shape[2]
         window = self.window_size
-        if window > 0:
-            x, pad_hw = window_partition(x, window)
 
-        x = MultiScaleAttention(
-            self.dim_out, self.num_heads, self.q_stride, self.dtype, name="attn"
-        )(x)
-
-        if self.q_stride is not None:
-            # Q-pool halved the token grid; unpartition with the halved
-            # window against the pooled shortcut's grid (hieradet.py:148-159).
-            if self.window_size > 0:
-                window = self.window_size // self.q_stride[0]
-                h2, w2 = shortcut.shape[1], shortcut.shape[2]
-                pad_h = (window - h2 % window) % window
-                pad_w = (window - w2 % window) % window
-                x = window_unpartition(x, window, (h2 + pad_h, w2 + pad_w), (h2, w2))
-        elif window > 0:
-            x = window_unpartition(x, window, pad_hw, (h, w))
+        if self.dim == self.dim_out:
+            # pre-norm fused into the QKV matmul; the *projected* tensor is
+            # window-partitioned with bias fill (== reference's zero-padded
+            # normed tensor run through the projection)
+            assert self.q_stride is None, "q-pool implies a dim change"
+            ln1 = LNParams(self.dim, name="norm1")
+            qkv = attn.project_qkv(x, ln1.scale, ln1.bias)
+            if window > 0:
+                qkv, pad_hw = window_partition_fill(
+                    qkv, window, attn.qkv.bias
+                )
+                x = attn.attend(qkv)
+                x = window_unpartition(x, window, pad_hw, (h, w))
+            else:
+                x = attn.attend(qkv)
+        else:
+            xn = layer_norm(self.dtype, name="norm1")(x)
+            shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(xn)
+            if self.q_stride is not None:
+                shortcut = max_pool2d(shortcut, self.q_stride[0], self.q_stride[0])
+            if window > 0:
+                xn, pad_hw = window_partition(xn, window)
+            x = attn(xn)
+            if self.q_stride is not None:
+                # Q-pool halved the token grid; unpartition with the halved
+                # window against the pooled shortcut grid (hieradet.py:148-159)
+                if self.window_size > 0:
+                    window = self.window_size // self.q_stride[0]
+                    h2, w2 = shortcut.shape[1], shortcut.shape[2]
+                    pad_h = (window - h2 % window) % window
+                    pad_w = (window - w2 % window) % window
+                    x = window_unpartition(
+                        x, window, (h2 + pad_h, w2 + pad_w), (h2, w2)
+                    )
+            elif window > 0:
+                x = window_unpartition(x, window, pad_hw, (h, w))
 
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(x, train)
+
+        hidden = int(self.dim_out * self.mlp_ratio)
+        if self.drop_path == 0.0 or not train:
+            # block tail fused into one kernel on TPU: x + MLP(gelu, LN2(x))
+            # — LN stats, the 4x hidden, and the residual all stay in VMEM
+            from sam2unet_tpu.nn.layers import LNParams, MLPParams
+            from sam2unet_tpu.ops.pallas.fused_mlp import fused_mlp
+
+            ln = LNParams(self.dim_out, name="norm2")
+            mp = MLPParams(self.dim_out, hidden, self.dim_out, name="mlp")
+            return fused_mlp(
+                x.astype(self.dtype),
+                mp.layers_0.kernel, mp.layers_0.bias,
+                mp.layers_1.kernel, mp.layers_1.bias,
+                ln_scale=ln.scale, ln_bias=ln.bias, residual=True,
+            )
         y = layer_norm(self.dtype, name="norm2")(x)
         y = MLP(
-            int(self.dim_out * self.mlp_ratio),
+            hidden,
             self.dim_out,
             num_layers=2,
             activation=gelu,

@@ -63,11 +63,51 @@ class ConvBN(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only Dense (kernel/bias leaves match nn.Dense) so fused
+    kernels can consume the weights directly."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+
+class LNParams(nn.Module):
+    """Parameter-only LayerNorm (scale/bias leaves match nn.LayerNorm)."""
+
+    features: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+
+class MLPParams(nn.Module):
+    """Parameter-only 2-layer MLP with the converter's layers_{i} names."""
+
+    in_features: int
+    hidden: int
+    out_features: int
+
+    def setup(self):
+        self.layers_0 = _DenseParams(self.in_features, self.hidden)
+        self.layers_1 = _DenseParams(self.hidden, self.out_features)
+
+
 class MLP(nn.Module):
     """Stacked Dense with activation on all but the last layer.
 
     Matches sam2_utils.MLP (sam2_utils.py:108-132); layer i is named
-    `layers_{i}` for the converter.
+    `layers_{i}` for the converter. With `fused=True` and 2 layers, the
+    forward runs the Pallas matmul-gelu-matmul kernel (hidden never touches
+    HBM) — same parameter tree, TPU-only (XLA fallback elsewhere).
     """
 
     hidden_dim: int
@@ -75,10 +115,21 @@ class MLP(nn.Module):
     num_layers: int
     activation: Callable = nn.relu
     sigmoid_output: bool = False
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.fused and self.num_layers == 2 and not self.sigmoid_output:
+            from sam2unet_tpu.ops.pallas.fused_mlp import fused_mlp
+
+            d_in = x.shape[-1]
+            p0 = _DenseParams(d_in, self.hidden_dim, name="layers_0")
+            p1 = _DenseParams(self.hidden_dim, self.output_dim, name="layers_1")
+            return fused_mlp(
+                x.astype(self.dtype),
+                p0.kernel, p0.bias, p1.kernel, p1.bias,
+            )
         dims = [self.hidden_dim] * (self.num_layers - 1) + [self.output_dim]
         for i, d in enumerate(dims):
             x = nn.Dense(d, dtype=self.dtype, name=f"layers_{i}")(x)

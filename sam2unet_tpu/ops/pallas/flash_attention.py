@@ -35,24 +35,24 @@ _MAX_FULL_SEQ = 1024
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, g: int):
-    # refs: (G, S, D) in VMEM; G rows per grid step (statically unrolled) so
-    # the ~1us grid-step overhead amortizes over G*2 matmuls.
-    for i in range(g):
-        q = q_ref[i]
-        k = k_ref[i]
-        v = v_ref[i]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[i] = o.astype(o_ref.dtype)
+    # refs: (G, S, D) in VMEM; one batched dot_general covers all G rows per
+    # grid step (no unrolling — Mosaic lowers the batch dim natively), so
+    # the grid-step overhead amortizes over G*2 matmuls.
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = o.astype(o_ref.dtype)
 
 
 def _pick_group(n: int, sq: int, sk: int, d: int, itemsize: int) -> int:

@@ -24,6 +24,28 @@ def window_partition(x: jnp.ndarray, window: int) -> tuple[jnp.ndarray, tuple[in
     return x, (hp, wp)
 
 
+def window_partition_fill(
+    x: jnp.ndarray, window: int, fill: jnp.ndarray
+) -> tuple[jnp.ndarray, tuple[int, int]]:
+    """window_partition, but pad positions take `fill` (a (C,) vector)
+    instead of zeros — used when partitioning a *projected* tensor whose
+    zero-input image is the projection bias (pre-norm fused QKV path)."""
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        f = fill.astype(x.dtype)
+        if pad_h:
+            x = x.at[:, h:, :, :].set(f)
+        if pad_w:
+            x = x.at[:, :, w:, :].set(f)
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+    return x, (hp, wp)
+
+
 def window_unpartition(
     windows: jnp.ndarray, window: int, pad_hw: tuple[int, int], hw: tuple[int, int]
 ) -> jnp.ndarray:

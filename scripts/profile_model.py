@@ -11,7 +11,11 @@ from __future__ import annotations
 import argparse
 import collections
 import glob
+import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
