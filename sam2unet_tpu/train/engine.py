@@ -54,6 +54,21 @@ def create_train_state(
     )
 
 
+def create_sharded_train_state(
+    variables: dict, optimizer: optax.GradientTransformation, mesh: Mesh,
+    min_shard_size: int | None = None,
+) -> TrainState:
+    """TrainState placed per the tensor-parallel policy: large matmul
+    weights (and their Adam moments) sharded over 'model', the rest
+    replicated. With a 1-sized model axis this is plain replication."""
+    from sam2unet_tpu.parallel.sharding import shard_tree
+
+    state = create_train_state(variables, optimizer)
+    if min_shard_size is None:
+        return shard_tree(state, mesh)
+    return shard_tree(state, mesh, min_shard_size)
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -101,6 +116,16 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    if mesh.shape.get("model", 1) > 1:
+        # tensor parallelism: params/moments placed by the sharding policy;
+        # jit infers in-shardings from the placed state and XLA inserts the
+        # collectives. Shard the state with parallel.sharding.shard_tree
+        # (see create_sharded_train_state) before the first call.
+        return jax.jit(
+            step_fn,
+            in_shardings=(None, data, data),
+            donate_argnums=(0,) if donate else (),
+        )
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, data),
