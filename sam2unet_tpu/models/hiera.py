@@ -16,7 +16,6 @@ input size at trace time, so jit sees a fixed program.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 
