@@ -86,21 +86,19 @@ def adjust_gamma(img: np.ndarray, gamma: float, gain: float = 1.0) -> np.ndarray
 
 
 def gaussian_blur(img: np.ndarray, kernel_size: int) -> np.ndarray:
-    """Separable Gaussian, torchvision sigma rule + reflect padding."""
+    """Separable Gaussian, torchvision sigma rule + reflect padding
+    (C-speed via scipy correlate1d — this runs per sample in the train
+    prefetch workers)."""
+    from scipy.ndimage import correlate1d
+
     sigma = 0.3 * ((kernel_size - 1) * 0.5 - 1) + 0.8
     half = kernel_size // 2
     xs = np.arange(-half, half + 1, dtype=np.float32)
     k = np.exp(-0.5 * (xs / sigma) ** 2)
     k /= k.sum()
-    pad = [(0, 0), (half, half), (0, 0)]
-    out = img
+    out = img.astype(np.float32)
     for axis in (1, 2):
-        p = [(0, 0)] * 3
-        p[axis] = (half, half)
-        padded = np.pad(out, p, mode="reflect")
-        out = np.apply_along_axis(
-            lambda m: np.convolve(m, k, mode="valid"), axis, padded
-        )
+        out = correlate1d(out, k, axis=axis, mode="mirror")
     return out.astype(np.float32)
 
 
