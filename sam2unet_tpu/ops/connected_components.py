@@ -61,13 +61,13 @@ def label_components_jax(
     fg = (mask[:, 0] > 0)
     size = h * w
     if num_iters is None:
-        num_iters = int(np.ceil(np.log2(max(size, 2)))) + 2
+        num_iters = size  # safety cap; the while_loop exits on convergence
 
     big = jnp.int32(size)
     init = jnp.arange(size, dtype=jnp.int32).reshape(1, h, w)
     labels = jnp.where(fg, init, big)
 
-    def body(_, labels):
+    def step(labels):
         # local relaxation: adopt the smallest neighboring label
         prop = _min_pool8(labels, big)
         prop = jnp.where(fg, jnp.minimum(labels, prop), big)
@@ -78,7 +78,18 @@ def label_components_jax(
         flat = jnp.where(flat < size, jnp.minimum(flat, hopped), flat)
         return flat.reshape(n, h, w)
 
-    labels = lax.fori_loop(0, num_iters, body, labels)
+    def cond(state):
+        labels, changed, it = state
+        return changed & (it < num_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = step(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0))
+    )
 
     # areas via one-hot-free histogram: segment-sum over flat label ids
     flat = labels.reshape(n, size)
