@@ -48,7 +48,7 @@ def test_letterbox_padding_metadata():
     assert (left, right) == (0, 0)
     assert (top, bottom) == (16, 16)
     assert np.all(out[:, :16] == 0) and np.all(out[:, -16:] == 0)
-    assert np.all(out[:, 16:48] == 1)
+    np.testing.assert_allclose(out[:, 16:48], 1.0, rtol=1e-6)
 
 
 @pytest.fixture()
