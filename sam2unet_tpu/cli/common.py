@@ -11,12 +11,12 @@ from sam2unet_tpu.utils.jax_setup import setup_jax
 
 
 def build_model(
-    model_cfg: str = "sam2_hiera_s", dtype=None
+    model_cfg: str = "sam2_hiera_s", dtype=None, remat: bool = False
 ) -> tuple[SAM2UNet, SAM2UNetConfig]:
     import jax.numpy as jnp
 
     cfg = SAM2UNetConfig(trunk=hiera_config(model_cfg))
-    model = SAM2UNet(cfg, dtype=dtype or jnp.float32)
+    model = SAM2UNet(cfg, remat=remat, dtype=dtype or jnp.float32)
     return model, cfg
 
 

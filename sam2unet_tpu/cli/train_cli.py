@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_cfg", type=str, default="sam2_hiera_s")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params/loss)")
+    p.add_argument("--remat", action="store_true",
+                   help="gradient checkpointing per trunk block")
     p.add_argument("--eval_batch_size", type=int, default=0,
                    help="0 = same as batch_size")
     p.add_argument("--num_workers", type=int, default=8)
@@ -73,7 +75,7 @@ def main(args) -> None:
     test_data = EvalDataset(args.test_image_path, args.test_gt_path, args.size)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model, _ = build_model(args.model_cfg, dtype=dtype)
+    model, _ = build_model(args.model_cfg, dtype=dtype, remat=args.remat)
     variables = init_variables(model, args.size, batch=args.batch_size)
     variables = load_weights(variables, args.hiera_path, args.checkpoint)
 

@@ -132,13 +132,14 @@ class SAM2UNet(nn.Module):
 
     cfg: SAM2UNetConfig = SAM2UNetConfig()
     include_unused_up4: bool = True
+    remat: bool = False  # jax.checkpoint per trunk block (bigger batches)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         c = self.cfg
         feats = Hiera(c.trunk, use_adapters=True, adapter_dim=c.adapter_dim,
-                      dtype=self.dtype, name="encoder")(x, train)
+                      remat=self.remat, dtype=self.dtype, name="encoder")(x, train)
         x1, x2, x3, x4 = feats  # strides 4, 8, 16, 32
 
         x1 = RFBModified(c.rfb_out, self.dtype, name="rfb1")(x1, train)
