@@ -388,17 +388,16 @@ class SAM2VideoPredictor:
             consolidated["pred_masks"][obj_idx : obj_idx + 1] = out["pred_masks"]
             consolidated["obj_ptr"][obj_idx : obj_idx + 1] = out["obj_ptr"]
 
-        # video-res masks for return
-        from sam2unet_tpu.ops.resize_np import resize_np
-
-        hi = resize_np(
-            consolidated["pred_masks"],
-            (self.cfg.image_size, self.cfg.image_size),
-            "bilinear",
-        )
         consolidated["pred_masks_video_res"] = consolidated["pred_masks"]
 
         if run_mem_encoder:
+            from sam2unet_tpu.ops.resize_np import resize_np
+
+            hi = resize_np(
+                consolidated["pred_masks"],
+                (self.cfg.image_size, self.cfg.image_size),
+                "bilinear",
+            )
             if self.non_overlap_masks_for_mem(batch_size):
                 hi = np.asarray(
                     SAM2Base.apply_non_overlapping_constraints(jnp.asarray(hi))
