@@ -1,0 +1,79 @@
+"""AMG utility correctness (RLE round trip, boxes, stability, NMS)."""
+
+import numpy as np
+
+from sam2unet_tpu.utils.amg import (
+    area_from_rle,
+    batched_mask_to_box,
+    batched_nms,
+    build_point_grid,
+    calculate_stability_score,
+    generate_crop_boxes,
+    mask_to_rle,
+    remove_small_regions,
+    rle_to_mask,
+    uncrop_masks,
+)
+
+
+def test_rle_roundtrip_and_area():
+    rng = np.random.default_rng(0)
+    masks = rng.random((4, 13, 17)) > 0.5
+    rles = mask_to_rle(masks)
+    for i, rle in enumerate(rles):
+        back = rle_to_mask(rle)
+        np.testing.assert_array_equal(back, masks[i])
+        assert area_from_rle(rle) == int(masks[i].sum())
+
+
+def test_batched_mask_to_box():
+    m = np.zeros((2, 20, 30), bool)
+    m[0, 3:9, 5:12] = True  # box (5, 3, 11, 8)
+    boxes = batched_mask_to_box(m)
+    np.testing.assert_array_equal(boxes[0], [5, 3, 11, 8])
+    np.testing.assert_array_equal(boxes[1], [0, 0, 0, 0])  # empty mask
+
+
+def test_stability_score():
+    logits = np.full((1, 10, 10), 5.0)
+    logits[0, :5] = -5.0
+    s = calculate_stability_score(logits, mask_threshold=0.0,
+                                  threshold_offset=1.0)
+    np.testing.assert_allclose(s, [1.0])
+    # near-threshold mask is unstable
+    soft = np.full((1, 10, 10), 0.5)
+    s2 = calculate_stability_score(soft, 0.0, 1.0)
+    assert s2[0] == 0.0
+
+
+def test_point_grid_and_crops():
+    g = build_point_grid(4)
+    assert g.shape == (16, 2)
+    assert g.min() > 0 and g.max() < 1
+    boxes, layers = generate_crop_boxes((100, 150), n_layers=1,
+                                        overlap_ratio=0.2)
+    assert boxes[0] == [0, 0, 150, 100] and layers[0] == 0
+    assert len(boxes) == 1 + 4 and set(layers[1:]) == {1}
+
+
+def test_nms_prefers_high_scores():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                     np.float32)
+    scores = np.array([0.5, 0.9, 0.7])
+    keep = batched_nms(boxes, scores, np.zeros(3, np.int64), 0.5)
+    assert set(keep.tolist()) == {1, 2}
+
+
+def test_remove_small_regions_and_uncrop():
+    m = np.zeros((20, 20), bool)
+    m[2:12, 2:12] = True
+    m[5, 5] = False  # 1-px hole
+    m[18, 18] = True  # 1-px island
+    fixed, changed = remove_small_regions(m, area_thresh=4, mode="holes")
+    assert changed and fixed[5, 5]
+    fixed2, changed2 = remove_small_regions(fixed, 4, "islands")
+    assert changed2 and not fixed2[18, 18]
+
+    u = uncrop_masks(m[None], [5, 3, 25, 23], 30, 40)
+    assert u.shape == (1, 30, 40)
+    assert u[0, 2 + 3, 2 + 5] == m[2, 2]
