@@ -1,0 +1,34 @@
+"""Device-side (jit) batched semantic metrics.
+
+The reference computes all metrics on host per image (train.py:95-123);
+here the pixel-level IoU/Dice reduction runs on-device over whole padded
+batches with validity masking, so the per-epoch eval loop ships only a few
+scalars back per batch. Instance metrics (connected components + greedy
+matching) remain host-side in eval/metrics.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("threshold",))
+def batched_semantic_metrics(
+    pred_probs: jnp.ndarray,   # (B, H, W) in [0, 1] (or logits>thresholded)
+    gt: jnp.ndarray,           # (B, H, W) in [0, 255] or {0,1}
+    valid: jnp.ndarray,        # (B,) bool — padded batch entries masked out
+    threshold: float = 0.1,
+):
+    """Returns per-image (iou (B,), dice (B,)); invalid entries are zero."""
+    p = pred_probs > threshold
+    g = gt > (255.0 * threshold if gt.dtype != jnp.bool_ else 0.5)
+    inter = jnp.sum(p & g, axis=(1, 2)).astype(jnp.float32)
+    union = jnp.sum(p | g, axis=(1, 2)).astype(jnp.float32)
+    sums = jnp.sum(p, axis=(1, 2)) + jnp.sum(g, axis=(1, 2))
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0)
+    dice = jnp.where(sums > 0, 2 * inter / jnp.maximum(sums, 1), 0.0)
+    v = valid.astype(jnp.float32)
+    return iou * v, dice * v
