@@ -38,12 +38,22 @@ def avg_pool2d_same(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
     as exercised by the structure loss (train.py:22: k=31, s=1, p=15).
     """
     pad = kernel // 2
+    # separable: sum over the k x k rectangle == 1-D row sums then column
+    # sums (exact, zero padding) — 2k adds/pixel instead of k^2
     summed = lax.reduce_window(
         x,
         x.dtype.type(0),
         lax.add,
-        window_dimensions=(1, kernel, kernel, 1),
+        window_dimensions=(1, kernel, 1, 1),
         window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+        padding=((0, 0), (pad, pad), (0, 0), (0, 0)),
+    )
+    summed = lax.reduce_window(
+        summed,
+        x.dtype.type(0),
+        lax.add,
+        window_dimensions=(1, 1, kernel, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (0, 0), (pad, pad), (0, 0)),
     )
     return summed / jnp.asarray(kernel * kernel, x.dtype)
