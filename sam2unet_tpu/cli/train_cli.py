@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_batch_size", type=int, default=0,
                    help="0 = same as batch_size")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--fast_eval", action="store_true",
+                   help="device-side semantic-only eval (mIoU/mDice at model "
+                        "resolution; skips instance metrics) — the checkpoint "
+                        "gate uses mIoU only, so gating behavior is preserved")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a JAX profiler trace of steps 10-14 here")
     p.add_argument("--resume", type=str, default="",
@@ -139,22 +143,46 @@ def main(args) -> None:
 
         print("Evaluating", end="")
         eval_vars = state.variables()
-        results = []
-        for bi, eb in enumerate(test_data.batches(eval_bs)):
-            logits, _, _ = eval_step(eval_vars, shard_batch(mesh, eb["image"]))
-            logits = np.asarray(logits)
-            for j in range(eb["valid"]):
-                res = postprocess_prediction(
-                    logits[j : j + 1], eb["padding"][j], args.size,
-                    eb["gt"][j].shape,
-                )
-                results.append(
-                    evaluate_segmentation_performance(res, eb["gt"][j])
-                )
-                if (bi * eval_bs + j) % 10 == 0:
-                    print(".", end="", flush=True)
+        if args.fast_eval:
+            from sam2unet_tpu.eval.metrics_device import batched_semantic_metrics
+            from sam2unet_tpu.train.engine import postprocess_logits
 
-        final_result = evaluate_dataset(results)
+            ious, dices, count = [], [], 0
+            for eb in test_data.batches(eval_bs, letterbox_gt=True):
+                logits, _, _ = eval_step(eval_vars, shard_batch(mesh, eb["image"]))
+                probs = postprocess_logits(
+                    logits, jnp.asarray(eb["padding"]), args.size
+                )[..., 0]
+                valid = np.arange(eval_bs) < eb["valid"]
+                iou, dice = batched_semantic_metrics(
+                    probs, jnp.asarray(eb["gt_letterboxed"]),
+                    jnp.asarray(valid),
+                )
+                ious.append(np.asarray(iou))
+                dices.append(np.asarray(dice))
+                count += eb["valid"]
+                print(".", end="", flush=True)
+            final_result = {
+                MIOU: float(np.concatenate(ious).sum() / count),
+                "mDice": float(np.concatenate(dices).sum() / count),
+                "images_count": count,
+            }
+        else:
+            results = []
+            for bi, eb in enumerate(test_data.batches(eval_bs)):
+                logits, _, _ = eval_step(eval_vars, shard_batch(mesh, eb["image"]))
+                logits = np.asarray(logits)
+                for j in range(eb["valid"]):
+                    res = postprocess_prediction(
+                        logits[j : j + 1], eb["padding"][j], args.size,
+                        eb["gt"][j].shape,
+                    )
+                    results.append(
+                        evaluate_segmentation_performance(res, eb["gt"][j])
+                    )
+                    if (bi * eval_bs + j) % 10 == 0:
+                        print(".", end="", flush=True)
+            final_result = evaluate_dataset(results)
         epoch_name = f"epoch-{epoch + 1}_loss-{epoch_loss:.3f}"
         print_eval_report(final_result, title=epoch_name, log_path=log_path)
         saved = policy.maybe_save(

@@ -139,27 +139,40 @@ class EvalDataset:
         self.index += 1
         return out
 
-    def batches(self, batch_size: int) -> Iterator[dict]:
-        """Fixed-shape batches for sharded eval; pads the tail batch."""
+    def batches(self, batch_size: int, letterbox_gt: bool = False) -> Iterator[dict]:
+        """Fixed-shape batches for sharded eval; pads the tail batch.
+        letterbox_gt=True additionally letterboxes the GT to model
+        resolution (nearest) for device-side metric computation."""
         n = self.count
         for start in range(0, n, batch_size):
             idxs = list(range(start, min(start + batch_size, n)))
             images = np.zeros((batch_size, self.size, self.size, 3), np.float32)
             paddings = np.zeros((batch_size, 4), np.int32)
             gts, names = [], []
+            gt_lb = (
+                np.zeros((batch_size, self.size, self.size), np.float32)
+                if letterbox_gt else None
+            )
             for j, i in enumerate(idxs):
                 img, gt, name, padding = self.item(i)
                 images[j] = img[0]
                 paddings[j] = padding
                 gts.append(gt)
                 names.append(name)
-            yield {
+                if letterbox_gt:
+                    from sam2unet_tpu.data.transforms import letterbox_nearest
+
+                    gt_lb[j] = letterbox_nearest(gt[None], self.size)[0]
+            out = {
                 "image": images,
                 "padding": paddings,
                 "gt": gts,
                 "name": names,
                 "valid": len(idxs),
             }
+            if letterbox_gt:
+                out["gt_letterboxed"] = gt_lb
+            yield out
 
 
 def _batched_prefetch(order, produce, batch_size, size, num_workers):
