@@ -31,7 +31,7 @@ import numpy as np
 # ModuleLists whose entries are flattened to `name_{i}` module names
 _MODULELIST_FLAT = {"point_embeddings", "output_hypernetworks_mlps"}
 # Sequentials whose entries are flattened to `name_layers_{i}` module names
-_SEQ_FLAT = {"mask_downscaling", "output_upscaling", "encoder_seq"}
+_SEQ_FLAT = {"mask_downscaling", "output_upscaling"}
 # torch params/Embeddings stored raw (no transpose, no kernel/scale leaf)
 _EMBED_BASES = (
     "not_a_point_embed", "no_mask_embed", "iou_token", "mask_tokens",

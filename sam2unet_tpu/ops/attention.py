@@ -17,8 +17,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Sequences at least this long route to the flash kernel under "auto".
-_PALLAS_MIN_SEQ = 1024
 _FORCE_IMPL: str | None = None  # test hook
 
 
@@ -40,7 +38,7 @@ def sdpa(
     if impl == "auto":
         # measured on v5e: the manual einsum with bf16 probabilities beats
         # both jax.nn.dot_product_attention and the fused Pallas kernel at
-        # this model's 72-wide heads; pallas only for very long sequences
+        # this model's 72-wide heads (docs/PERF.md "Measured and rejected")
         impl = "einsum"
     if impl == "pallas":
         from sam2unet_tpu.ops.pallas.flash_attention import flash_attention
