@@ -63,8 +63,14 @@ class MultiScaleAttention(nn.Module):
     def attend(self, qkv: jnp.ndarray) -> jnp.ndarray:
         """qkv: (B', h, w, 3*dim_out) (windowed or full grid)."""
         b, h, w, _ = qkv.shape
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, -1)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # q/k/v are contiguous channel blocks of the projection output
+        # (feature order is [3, heads, head_dim]) — slicing the last dim is
+        # layout-free, unlike the reference's 5-D reshape + unbind
+        c = self.dim_out
+        nh = self.num_heads
+        q = qkv[..., :c].reshape(b, h * w, nh, -1)
+        k = qkv[..., c : 2 * c].reshape(b, h * w, nh, -1)
+        v = qkv[..., 2 * c :].reshape(b, h * w, nh, -1)
 
         if self.q_stride is not None:
             q = q.reshape(b, h, w, -1)
