@@ -119,10 +119,12 @@ def _xla_attention(q, k, v):
     # NOTE: a bf16-score variant (bf16 S/exp tensors, softmax division folded
     # into the output) measured 121 img/s end-to-end vs 149 for this plain
     # form — XLA's native softmax fusion beats hand-split reductions here.
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    # The bqhk score layout keeps (token, head) adjacency matching the
+    # (B, S, H, D) inputs, avoiding head transposes around the matmuls.
+    s = jnp.einsum("bqhd,bkhd->bqhk", q, k,
                    preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+    return jnp.einsum("bqhk,bkhd->bqhd", p.astype(v.dtype), v)
 
 
 @jax.custom_vjp
