@@ -46,14 +46,16 @@ class MultiScaleAttention(nn.Module):
         self.qkv = _DenseParams(self.dim, 3 * self.dim_out)
         self.proj = _DenseParams(self.dim_out, self.dim_out)
 
-    def project_qkv(self, x: jnp.ndarray, ln_scale=None, ln_bias=None):
-        """x: (..., dim) -> (..., 3*dim_out); optional fused pre-norm."""
+    def project_qkv(self, x: jnp.ndarray, ln_scale=None, ln_bias=None,
+                    add_bias: bool = True):
+        """x: (..., dim) -> (..., 3*dim_out); optional fused pre-norm.
+        add_bias=False defers the projection bias to the window-pad fill."""
         if ln_scale is not None:
             from sam2unet_tpu.ops.pallas.fused_mlp import fused_ln_matmul
 
             return fused_ln_matmul(
                 x.astype(self.dtype), self.qkv.kernel, self.qkv.bias,
-                ln_scale, ln_bias,
+                ln_scale, ln_bias, add_bias,
             )
         y = jnp.dot(
             x.astype(self.dtype), self.qkv.kernel.astype(self.dtype)
@@ -119,15 +121,16 @@ class MultiScaleBlock(nn.Module):
         if self.dim == self.dim_out:
             assert self.q_stride is None, "q-pool implies a dim change"
             ln1 = LNParams(self.dim, name="norm1")
-            qkv = attn.project_qkv(x, ln1.scale, ln1.bias)
             if window > 0:
+                # bias-free projection; the bias joins in the partition pass
+                qkv = attn.project_qkv(x, ln1.scale, ln1.bias, add_bias=False)
                 qkv, pad_hw = window_partition_fill(
                     qkv, window, attn.qkv.bias
                 )
                 x = attn.attend(qkv)
                 x = window_unpartition(x, window, pad_hw, (h, w))
             else:
-                x = attn.attend(qkv)
+                x = attn.attend(attn.project_qkv(x, ln1.scale, ln1.bias))
         else:
             xn = layer_norm(self.dtype, name="norm1")(x)
             shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(xn)

@@ -121,7 +121,7 @@ def _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual):
     return out.reshape(*shape[:-1], d_out)
 
 
-def _ln_matmul_kernel(x_ref, w_ref, b_ref, ln_ref, o_ref):
+def _ln_matmul_kernel(x_ref, w_ref, b_ref, ln_ref, o_ref, *, add_bias: bool):
     x = x_ref[:].astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
@@ -129,25 +129,31 @@ def _ln_matmul_kernel(x_ref, w_ref, b_ref, ln_ref, o_ref):
     y = y * ln_ref[0].astype(jnp.float32) + ln_ref[1].astype(jnp.float32)
     o = jnp.dot(y.astype(o_ref.dtype), w_ref[:],
                 preferred_element_type=jnp.float32)
-    o_ref[:] = (o + b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    if add_bias:
+        o = o + b_ref[:].astype(jnp.float32)
+    o_ref[:] = o.astype(o_ref.dtype)
 
 
-def _xla_ln_matmul(x, w, b, ln_scale, ln_bias):
+def _xla_ln_matmul(x, w, b, ln_scale, ln_bias, add_bias=True):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
     y = ((xf - mu) * jax.lax.rsqrt(var + _LN_EPS) * ln_scale + ln_bias).astype(
         x.dtype
     )
-    return (jnp.dot(y, w, preferred_element_type=jnp.float32) + b).astype(x.dtype)
+    o = jnp.dot(y, w, preferred_element_type=jnp.float32)
+    if add_bias:
+        o = o + b
+    return o.astype(x.dtype)
 
 
-@jax.custom_vjp
-def fused_ln_matmul(x, w, b, ln_scale, ln_bias):
-    """LayerNorm (eps 1e-6) -> x @ W + b, one HBM pass over x. Used for the
-    pre-norm QKV projection in Hiera blocks."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_ln_matmul(x, w, b, ln_scale, ln_bias, add_bias=True):
+    """LayerNorm (eps 1e-6) -> x @ W [+ b], one HBM pass over x. Used for
+    the pre-norm QKV projection in Hiera blocks; add_bias=False lets the
+    caller fuse the bias into a later pass (window-pad fill)."""
     if jax.default_backend() != "tpu":
-        return _xla_ln_matmul(x, w, b, ln_scale, ln_bias)
+        return _xla_ln_matmul(x, w, b, ln_scale, ln_bias, add_bias)
     shape = x.shape
     d = shape[-1]
     n = 1
@@ -161,7 +167,7 @@ def fused_ln_matmul(x, w, b, ln_scale, ln_bias):
     d_out = w.shape[1]
     ln = jnp.stack([jnp.asarray(ln_scale, x.dtype), jnp.asarray(ln_bias, x.dtype)])
     out = pl.pallas_call(
-        _ln_matmul_kernel,
+        functools.partial(_ln_matmul_kernel, add_bias=add_bias),
         grid=(np_ // _TILE,),
         in_specs=[
             pl.BlockSpec((_TILE, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -183,13 +189,18 @@ def fused_ln_matmul(x, w, b, ln_scale, ln_bias):
     return out.reshape(*shape[:-1], d_out)
 
 
-def _lm_fwd(x, w, b, ln_scale, ln_bias):
-    return fused_ln_matmul(x, w, b, ln_scale, ln_bias), (x, w, b, ln_scale, ln_bias)
+def _lm_fwd(x, w, b, ln_scale, ln_bias, add_bias):
+    out = fused_ln_matmul(x, w, b, ln_scale, ln_bias, add_bias)
+    return out, (x, w, b, ln_scale, ln_bias)
 
 
-def _lm_bwd(res, g):
+def _lm_bwd(add_bias, res, g):
     x, w, b, ln_scale, ln_bias = res
-    _, vjp = jax.vjp(_xla_ln_matmul, x, w, b, ln_scale, ln_bias)
+
+    def ref(x, w, b, ln_scale, ln_bias):
+        return _xla_ln_matmul(x, w, b, ln_scale, ln_bias, add_bias)
+
+    _, vjp = jax.vjp(ref, x, w, b, ln_scale, ln_bias)
     return vjp(g)
 
 

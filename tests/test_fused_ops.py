@@ -68,25 +68,25 @@ def test_fused_ln_matmul_matches_norm_then_dense():
 
 
 def test_partition_fill_equals_project_after_pad():
-    """bias-filled partition of projected qkv == partition-then-project
-    (the reference's zero-pad-normed-then-Dense ordering)."""
+    """deferred-bias partition of a bias-free projection == the reference's
+    partition-then-project ordering (pads carry exactly the bias)."""
     rng = np.random.default_rng(3)
     xn = jnp.asarray(rng.standard_normal((2, 6, 7, 8)), jnp.float32)  # normed
     w = jnp.asarray(rng.standard_normal((8, 12)) * 0.3)
     b = jnp.asarray(rng.standard_normal(12))
     window = 4
 
-    # reference order: partition (zero pad) then project
+    # reference order: partition (zero pad) then project with bias
     xw, pad_hw = window_partition(xn, window)
     ref = xw @ w + b
 
-    # ours: project then partition with bias fill
-    qkv = xn @ w + b
-    got, pad_hw2 = window_partition_fill(qkv, window, b)
+    # ours: bias-free projection, zero-pad partition, bias added once after
+    qkv_nobias = xn @ w
+    got, pad_hw2 = window_partition_fill(qkv_nobias, window, b)
     assert pad_hw == pad_hw2
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
                                atol=1e-5)
-    # round trip still crops correctly
+    # round trip crops back to the biased projection on real tokens
     back = window_unpartition(got, window, pad_hw, (6, 7))
-    np.testing.assert_allclose(np.asarray(back), np.asarray(qkv), rtol=1e-5,
-                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(qkv_nobias + b),
+                               rtol=1e-5, atol=1e-5)
