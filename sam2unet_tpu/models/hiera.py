@@ -62,17 +62,28 @@ class MultiScaleAttention(nn.Module):
         )
         return y + self.qkv.bias.astype(self.dtype)
 
-    def attend(self, qkv: jnp.ndarray) -> jnp.ndarray:
-        """qkv: (B', h, w, 3*dim_out) (windowed or full grid)."""
+    def attend(self, qkv: jnp.ndarray, bias=None) -> jnp.ndarray:
+        """qkv: (B', h, w, 3*dim_out) (windowed or full grid). `bias` is the
+        deferred projection bias; adding it to the q/k/v slices fuses into
+        the attention matmul operands (pads included — exact reference
+        semantics)."""
         b, h, w, _ = qkv.shape
         # q/k/v are contiguous channel blocks of the projection output
         # (feature order is [3, heads, head_dim]) — slicing the last dim is
         # layout-free, unlike the reference's 5-D reshape + unbind
         c = self.dim_out
         nh = self.num_heads
-        q = qkv[..., :c].reshape(b, h * w, nh, -1)
-        k = qkv[..., c : 2 * c].reshape(b, h * w, nh, -1)
-        v = qkv[..., 2 * c :].reshape(b, h * w, nh, -1)
+        q = qkv[..., :c]
+        k = qkv[..., c : 2 * c]
+        v = qkv[..., 2 * c :]
+        if bias is not None:
+            bias = bias.astype(qkv.dtype)
+            q = q + bias[:c]
+            k = k + bias[c : 2 * c]
+            v = v + bias[2 * c :]
+        q = q.reshape(b, h * w, nh, -1)
+        k = k.reshape(b, h * w, nh, -1)
+        v = v.reshape(b, h * w, nh, -1)
 
         if self.q_stride is not None:
             q = q.reshape(b, h, w, -1)
@@ -81,8 +92,12 @@ class MultiScaleAttention(nn.Module):
             q = q.reshape(b, h * w, self.num_heads, -1)
 
         o = sdpa(q, k, v)  # (B, S, heads, head_dim)
+        # project straight from the (S, H, D) head layout — no flatten copy
+        wk = self.proj.kernel.astype(self.dtype).reshape(
+            self.num_heads, -1, self.dim_out
+        )
+        o = jnp.einsum("bshd,hdo->bso", o, wk)
         o = o.reshape(b, h, w, -1)
-        o = jnp.dot(o, self.proj.kernel.astype(self.dtype))
         return o + self.proj.bias.astype(self.dtype)
 
     def __call__(self, x: jnp.ndarray, ln_scale=None, ln_bias=None):
@@ -127,7 +142,7 @@ class MultiScaleBlock(nn.Module):
                 qkv, pad_hw = window_partition_fill(
                     qkv, window, attn.qkv.bias
                 )
-                x = attn.attend(qkv)
+                x = attn.attend(qkv, bias=attn.qkv.bias)
                 x = window_unpartition(x, window, pad_hw, (h, w))
             else:
                 x = attn.attend(attn.project_qkv(x, ln1.scale, ln1.bias))

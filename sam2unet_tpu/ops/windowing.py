@@ -40,7 +40,9 @@ def window_partition_fill(
     hp, wp = h + pad_h, w + pad_w
     x = x.reshape(b, hp // window, window, wp // window, window, c)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
-    return x + fill.astype(x.dtype), (hp, wp)
+    # NOTE: the caller adds `fill` (deferred projection bias) downstream —
+    # fused into the q/k/v slice consumers, not materialized here
+    return x, (hp, wp)
 
 
 def window_unpartition(

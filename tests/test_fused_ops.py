@@ -80,13 +80,14 @@ def test_partition_fill_equals_project_after_pad():
     xw, pad_hw = window_partition(xn, window)
     ref = xw @ w + b
 
-    # ours: bias-free projection, zero-pad partition, bias added once after
+    # ours: bias-free projection, zero-pad partition, bias added by the
+    # consumer (attend's q/k/v slices) — simulate that final add here
     qkv_nobias = xn @ w
     got, pad_hw2 = window_partition_fill(qkv_nobias, window, b)
     assert pad_hw == pad_hw2
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
-                               atol=1e-5)
-    # round trip crops back to the biased projection on real tokens
+    np.testing.assert_allclose(np.asarray(got + b), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # round trip crops back to the bias-free projection on real tokens
     back = window_unpartition(got, window, pad_hw, (6, 7))
-    np.testing.assert_allclose(np.asarray(back), np.asarray(qkv_nobias + b),
+    np.testing.assert_allclose(np.asarray(back), np.asarray(qkv_nobias),
                                rtol=1e-5, atol=1e-5)
