@@ -92,12 +92,8 @@ class MultiScaleAttention(nn.Module):
             q = q.reshape(b, h * w, self.num_heads, -1)
 
         o = sdpa(q, k, v)  # (B, S, heads, head_dim)
-        # project straight from the (S, H, D) head layout — no flatten copy
-        wk = self.proj.kernel.astype(self.dtype).reshape(
-            self.num_heads, -1, self.dim_out
-        )
-        o = jnp.einsum("bshd,hdo->bso", o, wk)
         o = o.reshape(b, h, w, -1)
+        o = jnp.dot(o, self.proj.kernel.astype(self.dtype))
         return o + self.proj.bias.astype(self.dtype)
 
     def __call__(self, x: jnp.ndarray, ln_scale=None, ln_bias=None):
