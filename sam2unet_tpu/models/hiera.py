@@ -62,6 +62,47 @@ class MultiScaleAttention(nn.Module):
         )
         return y + self.qkv.bias.astype(self.dtype)
 
+    def _split_heads(self, qkv: jnp.ndarray, bias):
+        """Slice contiguous q/k/v channel blocks (+ deferred bias) and shape
+        to (B, S, heads, head_dim)."""
+        b, h, w, _ = qkv.shape
+        c, nh = self.dim_out, self.num_heads
+        q = qkv[..., :c]
+        k = qkv[..., c : 2 * c]
+        v = qkv[..., 2 * c :]
+        if bias is not None:
+            bias = bias.astype(qkv.dtype)
+            q = q + bias[:c]
+            k = k + bias[c : 2 * c]
+            v = v + bias[2 * c :]
+        s = h * w
+        return (q.reshape(b, s, nh, -1), k.reshape(b, s, nh, -1),
+                v.reshape(b, s, nh, -1))
+
+    def attend_valid(self, qkv: jnp.ndarray, bias: jnp.ndarray, n_pad: int):
+        """Exact pad-free window attention (see ops/windowing.py
+        window_partition_valid): valid tokens only, with the reference's
+        pad tokens folded into one synthetic bias key of multiplicity
+        n_pad. Returns PRE-projection outputs (B', gh, gw, dim_out) so the
+        caller can run one unpadded output projection after the merge."""
+        from sam2unet_tpu.ops.pallas.flash_attention import attention_with_padkey
+
+        b, gh, gw, _ = qkv.shape
+        c, nh = self.dim_out, self.num_heads
+        q, k, v = self._split_heads(qkv, bias)
+        if n_pad == 0:
+            o = sdpa(q, k, v)
+        else:
+            hd = c // nh
+            k_pad = bias[c : 2 * c].reshape(nh, hd)
+            v_pad = bias[2 * c :].reshape(nh, hd)
+            o = attention_with_padkey(q, k, v, k_pad, v_pad, n_pad)
+        return o.reshape(b, gh, gw, c)
+
+    def project_out(self, o: jnp.ndarray) -> jnp.ndarray:
+        o = jnp.dot(o.astype(self.dtype), self.proj.kernel.astype(self.dtype))
+        return o + self.proj.bias.astype(self.dtype)
+
     def attend(self, qkv: jnp.ndarray, bias=None) -> jnp.ndarray:
         """qkv: (B', h, w, 3*dim_out) (windowed or full grid). `bias` is the
         deferred projection bias; adding it to the q/k/v slices fuses into
@@ -71,19 +112,7 @@ class MultiScaleAttention(nn.Module):
         # q/k/v are contiguous channel blocks of the projection output
         # (feature order is [3, heads, head_dim]) — slicing the last dim is
         # layout-free, unlike the reference's 5-D reshape + unbind
-        c = self.dim_out
-        nh = self.num_heads
-        q = qkv[..., :c]
-        k = qkv[..., c : 2 * c]
-        v = qkv[..., 2 * c :]
-        if bias is not None:
-            bias = bias.astype(qkv.dtype)
-            q = q + bias[:c]
-            k = k + bias[c : 2 * c]
-            v = v + bias[2 * c :]
-        q = q.reshape(b, h * w, nh, -1)
-        k = k.reshape(b, h * w, nh, -1)
-        v = v.reshape(b, h * w, nh, -1)
+        q, k, v = self._split_heads(qkv, bias)
 
         if self.q_stride is not None:
             q = q.reshape(b, h, w, -1)
@@ -92,9 +121,7 @@ class MultiScaleAttention(nn.Module):
             q = q.reshape(b, h * w, self.num_heads, -1)
 
         o = sdpa(q, k, v)  # (B, S, heads, head_dim)
-        o = o.reshape(b, h, w, -1)
-        o = jnp.dot(o, self.proj.kernel.astype(self.dtype))
-        return o + self.proj.bias.astype(self.dtype)
+        return self.project_out(o.reshape(b, h, w, -1))
 
     def __call__(self, x: jnp.ndarray, ln_scale=None, ln_bias=None):
         return self.attend(self.project_qkv(x, ln_scale, ln_bias))
@@ -135,11 +162,28 @@ class MultiScaleBlock(nn.Module):
             if window > 0:
                 # bias-free projection; the bias joins in the partition pass
                 qkv = attn.project_qkv(x, ln1.scale, ln1.bias, add_bias=False)
-                qkv, pad_hw = window_partition_fill(
-                    qkv, window, attn.qkv.bias
-                )
-                x = attn.attend(qkv, bias=attn.qkv.bias)
-                x = window_unpartition(x, window, pad_hw, (h, w))
+                if h % window or w % window:
+                    # pad-free groups + synthetic pad key (exact reference
+                    # numerics, 2-3x fewer tokens at 352 stage 3/4); one
+                    # unpadded output projection after the merge
+                    from sam2unet_tpu.ops.windowing import (
+                        window_merge_valid,
+                        window_partition_valid,
+                    )
+
+                    outs = [
+                        attn.attend_valid(g, attn.qkv.bias, n_pad)
+                        for g, n_pad in window_partition_valid(qkv, window)
+                    ]
+                    x = attn.project_out(
+                        window_merge_valid(outs, x.shape[0], h, w, window)
+                    )
+                else:
+                    qkv, pad_hw = window_partition_fill(
+                        qkv, window, attn.qkv.bias
+                    )
+                    x = attn.attend(qkv, bias=attn.qkv.bias)
+                    x = window_unpartition(x, window, pad_hw, (h, w))
             else:
                 x = attn.attend(attn.project_qkv(x, ln1.scale, ln1.bias))
         else:

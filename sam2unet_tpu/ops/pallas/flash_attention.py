@@ -127,6 +127,39 @@ def _xla_attention(q, k, v):
     return jnp.einsum("bqhk,bkhd->bqhd", p.astype(v.dtype), v)
 
 
+def attention_with_padkey(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    k_pad: jnp.ndarray,
+    v_pad: jnp.ndarray,
+    n_pad: int,
+) -> jnp.ndarray:
+    """Attention over valid tokens plus ONE synthetic pad key per head.
+
+    Reproduces the reference's padded window attention (hieradet.py:60-74
+    over utils.py:16-35 zero-padded windows) without computing pad tokens:
+    every pad token's projected q/k/v equals the projection bias exactly
+    (qkv(0) = bias), so the n_pad identical pad keys collapse under softmax
+    to a single key with logit + ln(n_pad) and value v_pad. Mathematically
+    identical to materializing the pads; 2-3x fewer score FLOPs/bytes on
+    the remainder windows.
+
+    q/k/v: (B, S, H, D) valid tokens; k_pad/v_pad: (H, D) per-head bias.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum("bqhd,bkhd->bqhk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    # synthetic key: logit of the shared pad token + its log-multiplicity
+    s_pad = jnp.einsum("bqhd,hd->bqh", q, k_pad.astype(q.dtype),
+                       preferred_element_type=jnp.float32) * scale
+    s_pad = s_pad + math.log(n_pad)
+    p = jax.nn.softmax(jnp.concatenate([s, s_pad[..., None]], axis=-1), axis=-1)
+    out = jnp.einsum("bqhk,bkhd->bqhd", p[..., :-1].astype(v.dtype), v)
+    return out + p[..., -1:].astype(v.dtype) * v_pad.astype(v.dtype)
+
+
 @jax.custom_vjp
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Fused attention over (B, S, H, D); numerics match

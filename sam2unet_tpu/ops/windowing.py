@@ -45,6 +45,83 @@ def window_partition_fill(
     return x, (hp, wp)
 
 
+def window_partition_valid(
+    x: jnp.ndarray, window: int
+) -> list[tuple[jnp.ndarray, int]]:
+    """Pad-free window partition into up to 4 exact-shape groups.
+
+    The reference (sam2/modeling/backbones/utils.py:16-35) zero-pads the
+    grid to a window multiple, wasting up to 2.1x tokens at 352 input.
+    Instead, slice the grid into the full-window region plus right/bottom/
+    corner remainder strips; each group's windows hold only valid tokens.
+
+    Returns [(windows, n_pad)] where windows is (B*nW, gh, gw, C) and
+    n_pad = window**2 - gh*gw is how many identical pad tokens the padded
+    partition would have added per window (consumed by the synthetic-pad-key
+    attention to reproduce the reference numerics exactly).
+    Group order matches window_merge_valid: ff, fr, rf, rr.
+    """
+    b, h, w, c = x.shape
+    nh, rh = divmod(h, window)
+    nw, rw = divmod(w, window)
+
+    def part(sub: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
+        s = sub.reshape(b, sub.shape[1] // gh, gh, sub.shape[2] // gw, gw, c)
+        return s.transpose(0, 1, 3, 2, 4, 5).reshape(-1, gh, gw, c)
+
+    groups = []
+    if nh and nw:
+        groups.append((part(x[:, : nh * window, : nw * window], window, window), 0))
+    if nh and rw:
+        groups.append(
+            (part(x[:, : nh * window, nw * window :], window, rw),
+             window * (window - rw))
+        )
+    if rh and nw:
+        groups.append(
+            (part(x[:, nh * window :, : nw * window], rh, window),
+             (window - rh) * window)
+        )
+    if rh and rw:
+        groups.append(
+            (part(x[:, nh * window :, nw * window :], rh, rw),
+             window * window - rh * rw)
+        )
+    return groups
+
+
+def window_merge_valid(
+    outs: list[jnp.ndarray], b: int, h: int, w: int, window: int
+) -> jnp.ndarray:
+    """Inverse of window_partition_valid: stitch per-group window outputs
+    (same order) back into (B, H, W, C) — no crop needed, nothing was padded."""
+    nh, rh = divmod(h, window)
+    nw, rw = divmod(w, window)
+    it = iter(outs)
+
+    def unpart(wins: jnp.ndarray, gr_h: int, gr_w: int, gh: int, gw: int):
+        c = wins.shape[-1]
+        x = wins.reshape(b, gr_h // gh, gr_w // gw, gh, gw, c)
+        return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gr_h, gr_w, c)
+
+    rows = []
+    top = []
+    if nh and nw:
+        top.append(unpart(next(it), nh * window, nw * window, window, window))
+    if nh and rw:
+        top.append(unpart(next(it), nh * window, rw, window, rw))
+    if top:
+        rows.append(top[0] if len(top) == 1 else jnp.concatenate(top, axis=2))
+    bot = []
+    if rh and nw:
+        bot.append(unpart(next(it), rh, nw * window, rh, window))
+    if rh and rw:
+        bot.append(unpart(next(it), rh, rw, rh, rw))
+    if bot:
+        rows.append(bot[0] if len(bot) == 1 else jnp.concatenate(bot, axis=2))
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=1)
+
+
 def window_unpartition(
     windows: jnp.ndarray, window: int, pad_hw: tuple[int, int], hw: tuple[int, int]
 ) -> jnp.ndarray:

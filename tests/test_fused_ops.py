@@ -67,6 +67,103 @@ def test_fused_ln_matmul_matches_norm_then_dense():
                                atol=2e-5)
 
 
+def test_padkey_attention_matches_materialized_pads():
+    """One synthetic key with logit +ln(n_pad) == n_pad identical pad keys."""
+    from sam2unet_tpu.ops.pallas.flash_attention import (
+        _xla_attention,
+        attention_with_padkey,
+    )
+
+    rng = np.random.default_rng(4)
+    b, s, h, d, n_pad = 3, 11, 2, 8, 5
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k_pad = jnp.asarray(rng.standard_normal((h, d)), jnp.float32)
+    v_pad = jnp.asarray(rng.standard_normal((h, d)), jnp.float32)
+
+    got = attention_with_padkey(q, k, v, k_pad, v_pad, n_pad)
+
+    k_full = jnp.concatenate(
+        [k, jnp.broadcast_to(k_pad, (b, n_pad, h, d))], axis=1
+    )
+    v_full = jnp.concatenate(
+        [v, jnp.broadcast_to(v_pad, (b, n_pad, h, d))], axis=1
+    )
+    ref = _xla_attention(q, k_full, v_full)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_valid_window_groups_roundtrip_and_coverage():
+    """partition_valid groups tile the grid exactly; merge inverts them."""
+    from sam2unet_tpu.ops.windowing import (
+        window_merge_valid,
+        window_partition_valid,
+    )
+
+    rng = np.random.default_rng(5)
+    for (hh, ww, win) in [(22, 22, 16), (11, 11, 8), (8, 8, 14), (16, 10, 4)]:
+        x = jnp.asarray(rng.standard_normal((2, hh, ww, 6)), jnp.float32)
+        groups = window_partition_valid(x, win)
+        total_valid = sum(int(np.prod(g.shape[:3])) for g, _ in groups)
+        assert total_valid == 2 * hh * ww  # every token exactly once
+        for g, n_pad in groups:
+            assert n_pad == win * win - g.shape[1] * g.shape[2]
+        back = window_merge_valid([g for g, _ in groups], 2, hh, ww, win)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_valid_window_attention_matches_padded_attention():
+    """valid-group + synthetic-pad-key attention == zero-pad window path
+    for the same attention params (the reference's ordering)."""
+    from sam2unet_tpu.models.hiera import MultiScaleAttention
+    from sam2unet_tpu.ops.windowing import (
+        window_merge_valid,
+        window_partition_fill,
+        window_partition_valid,
+        window_unpartition,
+    )
+
+    rng = np.random.default_rng(6)
+    b, h, w, dim, heads, window = 2, 11, 11, 16, 2, 8
+    x = jnp.asarray(rng.standard_normal((b, h, w, dim)) * 0.5, jnp.float32)
+    att = MultiScaleAttention(dim, dim, heads)
+    variables = att.init(jax.random.PRNGKey(0), x)
+    # non-zero qkv bias so the synthetic pad key actually matters
+    variables = {
+        "params": {
+            **variables["params"],
+            "qkv": {
+                "kernel": jnp.asarray(
+                    rng.standard_normal((dim, 3 * dim)) * 0.2, jnp.float32
+                ),
+                "bias": jnp.asarray(
+                    rng.standard_normal(3 * dim) * 0.5, jnp.float32
+                ),
+            },
+        }
+    }
+    bound = att.bind(variables)
+    qkv_nobias = bound.project_qkv(x, add_bias=False)
+    bias = variables["params"]["qkv"]["bias"]
+
+    # reference ordering: zero-pad partition, bias joins in attend
+    qkv_pad, pad_hw = window_partition_fill(qkv_nobias, window, bias)
+    ref = window_unpartition(
+        bound.attend(qkv_pad, bias=bias), window, pad_hw, (h, w)
+    )
+
+    # pad-free ordering: valid groups + synthetic key, proj after merge
+    outs = [
+        bound.attend_valid(g, bias, n_pad)
+        for g, n_pad in window_partition_valid(qkv_nobias, window)
+    ]
+    got = bound.project_out(window_merge_valid(outs, b, h, w, window))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
 def test_partition_fill_equals_project_after_pad():
     """deferred-bias partition of a bias-free projection == the reference's
     partition-then-project ordering (pads carry exactly the bias)."""
