@@ -160,29 +160,36 @@ class MultiScaleBlock(nn.Module):
             assert self.q_stride is None, "q-pool implies a dim change"
             ln1 = LNParams(self.dim, name="norm1")
             if window > 0:
-                # bias-free projection; the bias joins in the partition pass
-                qkv = attn.project_qkv(x, ln1.scale, ln1.bias, add_bias=False)
+                # Partition the RAW activations first (C-wide transpose, 3x
+                # cheaper than moving the projected qkv), then run the fused
+                # LN+QKV kernel on partitioned tokens — row-parallel, so the
+                # window structure is invisible to it. Exact because neither
+                # path pads: divisible grids partition cleanly, remainder
+                # grids use valid-token groups + the synthetic pad key.
+                # (A layout-native split-dim einsum variant measured SLOWER,
+                # 153.8 vs 195.8 img/s — XLA re-transposes the 8-D dot
+                # operands internally; the explicit partition is cheaper.)
                 if h % window or w % window:
-                    # pad-free groups + synthetic pad key (exact reference
-                    # numerics, 2-3x fewer tokens at 352 stage 3/4); one
-                    # unpadded output projection after the merge
                     from sam2unet_tpu.ops.windowing import (
                         window_merge_valid,
                         window_partition_valid,
                     )
 
                     outs = [
-                        attn.attend_valid(g, attn.qkv.bias, n_pad)
-                        for g, n_pad in window_partition_valid(qkv, window)
+                        attn.attend_valid(
+                            attn.project_qkv(g, ln1.scale, ln1.bias,
+                                             add_bias=False),
+                            attn.qkv.bias, n_pad,
+                        )
+                        for g, n_pad in window_partition_valid(x, window)
                     ]
                     x = attn.project_out(
                         window_merge_valid(outs, x.shape[0], h, w, window)
                     )
                 else:
-                    qkv, pad_hw = window_partition_fill(
-                        qkv, window, attn.qkv.bias
-                    )
-                    x = attn.attend(qkv, bias=attn.qkv.bias)
+                    xw, pad_hw = window_partition(x, window)
+                    qkv = attn.project_qkv(xw, ln1.scale, ln1.bias)
+                    x = attn.attend(qkv)
                     x = window_unpartition(x, window, pad_hw, (h, w))
             else:
                 x = attn.attend(attn.project_qkv(x, ln1.scale, ln1.bias))
