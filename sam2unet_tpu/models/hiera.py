@@ -60,7 +60,9 @@ class MultiScaleAttention(nn.Module):
         y = jnp.dot(
             x.astype(self.dtype), self.qkv.kernel.astype(self.dtype)
         )
-        return y + self.qkv.bias.astype(self.dtype)
+        if add_bias:
+            y = y + self.qkv.bias.astype(self.dtype)
+        return y
 
     def _split_heads(self, qkv: jnp.ndarray, bias):
         """Slice contiguous q/k/v channel blocks (+ deferred bias) and shape
@@ -79,21 +81,57 @@ class MultiScaleAttention(nn.Module):
         return (q.reshape(b, s, nh, -1), k.reshape(b, s, nh, -1),
                 v.reshape(b, s, nh, -1))
 
-    def attend_valid(self, qkv: jnp.ndarray, bias: jnp.ndarray, n_pad: int):
+    @property
+    def head_dim(self) -> int:
+        return self.dim_out // self.num_heads
+
+    def project_qkv3(self, x: jnp.ndarray, ln_scale, ln_bias,
+                     add_bias: bool = True):
+        """Fused LN -> qkv matmul -> in-VMEM split: three aligned (…, c)
+        outputs, no lane-misaligned HBM slice copies downstream.
+
+        NOTE: a variant that zero-pads each head to the 128-lane width in
+        the weights (making every head reshape a bitcast) measured SLOWER
+        end to end (213.1 vs 229.6 img/s infer, 70.9 vs 78.6 train) — the
+        +78% real bytes in the 2-D (rows, 3c) qkv tensors outweigh the
+        relayout savings. Keep logical head widths."""
+        from sam2unet_tpu.ops.pallas.fused_mlp import fused_ln_qkv
+
+        return fused_ln_qkv(
+            x.astype(self.dtype), self.qkv.kernel, self.qkv.bias,
+            ln_scale, ln_bias, add_bias,
+        )
+
+    def attend_parts(self, q, k, v) -> jnp.ndarray:
+        """Attention + output projection over separate (B', gh, gw, c)
+        q/k/v (bias already applied)."""
+        b, gh, gw, c = q.shape
+        nh = self.num_heads
+        s = gh * gw
+        o = sdpa(q.reshape(b, s, nh, -1), k.reshape(b, s, nh, -1),
+                 v.reshape(b, s, nh, -1))
+        return self.project_out(o.reshape(b, gh, gw, c))
+
+    def attend_valid(self, q, k, v, n_pad: int):
         """Exact pad-free window attention (see ops/windowing.py
-        window_partition_valid): valid tokens only, with the reference's
-        pad tokens folded into one synthetic bias key of multiplicity
-        n_pad. Returns PRE-projection outputs (B', gh, gw, dim_out) so the
-        caller can run one unpadded output projection after the merge."""
+        window_partition_valid) over separate biased q/k/v: the reference's
+        pad tokens (projected zeros = exactly the projection bias) fold
+        into one synthetic bias key of multiplicity n_pad. Returns
+        PRE-projection outputs (B', gh, gw, c) so the caller can run one
+        unpadded output projection after the merge."""
         from sam2unet_tpu.ops.pallas.flash_attention import attention_with_padkey
 
-        b, gh, gw, _ = qkv.shape
-        c, nh = self.dim_out, self.num_heads
-        q, k, v = self._split_heads(qkv, bias)
+        b, gh, gw, c = q.shape
+        nh = self.num_heads
+        s = gh * gw
+        q = q.reshape(b, s, nh, -1)
+        k = k.reshape(b, s, nh, -1)
+        v = v.reshape(b, s, nh, -1)
         if n_pad == 0:
             o = sdpa(q, k, v)
         else:
             hd = c // nh
+            bias = self.qkv.bias
             k_pad = bias[c : 2 * c].reshape(nh, hd)
             v_pad = bias[2 * c :].reshape(nh, hd)
             o = attention_with_padkey(q, k, v, k_pad, v_pad, n_pad)
@@ -142,7 +180,6 @@ class MultiScaleBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         from sam2unet_tpu.nn.layers import LNParams
-        from sam2unet_tpu.ops.windowing import window_partition_fill
 
         attn = MultiScaleAttention(
             self.dim, self.dim_out, self.num_heads, self.q_stride,
@@ -152,10 +189,10 @@ class MultiScaleBlock(nn.Module):
         h, w = x.shape[1], x.shape[2]
         window = self.window_size
 
-        # Pre-norm fused into the QKV matmul for every dim-preserving block;
-        # measured on v5e this beats partitioning the normed activations even
-        # when windows pad (148.9 vs 142.6 img/s end to end) — the bias-fill
-        # update-slices overlap with compute while the LN round trip doesn't.
+        # Dim-preserving blocks: partition the raw activations (C-wide, no
+        # pads on either path), then one fused LN+QKV+split kernel over the
+        # windowed rows — pre-norm never round-trips HBM and q/k/v land as
+        # separate aligned arrays.
         if self.dim == self.dim_out:
             assert self.q_stride is None, "q-pool implies a dim change"
             ln1 = LNParams(self.dim, name="norm1")
@@ -177,9 +214,8 @@ class MultiScaleBlock(nn.Module):
 
                     outs = [
                         attn.attend_valid(
-                            attn.project_qkv(g, ln1.scale, ln1.bias,
-                                             add_bias=False),
-                            attn.qkv.bias, n_pad,
+                            *attn.project_qkv3(g, ln1.scale, ln1.bias),
+                            n_pad,
                         )
                         for g, n_pad in window_partition_valid(x, window)
                     ]
@@ -188,11 +224,11 @@ class MultiScaleBlock(nn.Module):
                     )
                 else:
                     xw, pad_hw = window_partition(x, window)
-                    qkv = attn.project_qkv(xw, ln1.scale, ln1.bias)
-                    x = attn.attend(qkv)
+                    q, k, v = attn.project_qkv3(xw, ln1.scale, ln1.bias)
+                    x = attn.attend_parts(q, k, v)
                     x = window_unpartition(x, window, pad_hw, (h, w))
             else:
-                x = attn.attend(attn.project_qkv(x, ln1.scale, ln1.bias))
+                x = attn.attend_parts(*attn.project_qkv3(x, ln1.scale, ln1.bias))
         else:
             xn = layer_norm(self.dtype, name="norm1")(x)
             shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(xn)

@@ -31,8 +31,12 @@ def sdpa(
     k: jnp.ndarray,
     v: jnp.ndarray,
     impl: str = "auto",
+    scale: float | None = None,
 ) -> jnp.ndarray:
-    """Attention over (B, S, num_heads, head_dim) tensors."""
+    """Attention over (B, S, num_heads, head_dim) tensors.
+
+    `scale` defaults to 1/sqrt(head_dim); pass it explicitly when the head
+    dim is zero-padded (the logical head width sets the temperature)."""
     if _FORCE_IMPL is not None:
         impl = _FORCE_IMPL
     if impl == "auto":
@@ -43,9 +47,9 @@ def sdpa(
     if impl == "pallas":
         from sam2unet_tpu.ops.pallas.flash_attention import flash_attention
 
-        return flash_attention(q, k, v)
+        return flash_attention(q, k, v, scale=scale)
     if impl == "einsum":
         from sam2unet_tpu.ops.pallas.flash_attention import _xla_attention
 
-        return _xla_attention(q, k, v)
-    return jax.nn.dot_product_attention(q, k, v)
+        return _xla_attention(q, k, v, scale=scale)
+    return jax.nn.dot_product_attention(q, k, v, scale=scale)

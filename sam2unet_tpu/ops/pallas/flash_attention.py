@@ -65,10 +65,12 @@ def _pick_group(n: int, sq: int, sk: int, d: int, itemsize: int) -> int:
     return max(g, 1)
 
 
-def _fused_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def _fused_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                scale: float | None = None) -> jnp.ndarray:
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    scale = 1.0 / math.sqrt(d)
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
     n = b * h
 
     # (B, S, H, D) -> (B*H, S, D): one bf16 layout change, far cheaper than
@@ -101,7 +103,7 @@ def _fused_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
-def _xla_attention(q, k, v):
+def _xla_attention(q, k, v, scale=None):
     """Manual-einsum attention tuned for HBM traffic.
 
     In reduced precision (bf16 inputs) the S x S intermediates are stored
@@ -114,8 +116,8 @@ def _xla_attention(q, k, v):
     Outperforms both jax.nn.dot_product_attention and the fused Pallas
     kernel at this model's head width (72 lanes under-fills the MXU;
     measured on v5e). Also serves as the custom-VJP recompute."""
-    d = q.shape[-1]
-    scale = 1.0 / math.sqrt(d)
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
     # NOTE: a bf16-score variant (bf16 S/exp tensors, softmax division folded
     # into the output) measured 121 img/s end-to-end vs 149 for this plain
     # form — XLA's native softmax fusion beats hand-split reductions here.
@@ -134,6 +136,7 @@ def attention_with_padkey(
     k_pad: jnp.ndarray,
     v_pad: jnp.ndarray,
     n_pad: int,
+    scale: float | None = None,
 ) -> jnp.ndarray:
     """Attention over valid tokens plus ONE synthetic pad key per head.
 
@@ -147,8 +150,8 @@ def attention_with_padkey(
 
     q/k/v: (B, S, H, D) valid tokens; k_pad/v_pad: (H, D) per-head bias.
     """
-    d = q.shape[-1]
-    scale = 1.0 / math.sqrt(d)
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
     s = jnp.einsum("bqhd,bkhd->bqhk", q, k,
                    preferred_element_type=jnp.float32) * scale
     # synthetic key: logit of the shared pad token + its log-multiplicity
@@ -160,23 +163,24 @@ def attention_with_padkey(
     return out + p[..., -1:].astype(v.dtype) * v_pad.astype(v.dtype)
 
 
-@jax.custom_vjp
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float | None = None) -> jnp.ndarray:
     """Fused attention over (B, S, H, D); numerics match
     torch.nn.functional.scaled_dot_product_attention."""
     if k.shape[1] > _MAX_FULL_SEQ or jax.default_backend() != "tpu":
-        return _xla_attention(q, k, v)
-    return _fused_full(q, k, v)
+        return _xla_attention(q, k, v, scale=scale)
+    return _fused_full(q, k, v, scale=scale)
 
 
-def _fwd(q, k, v):
-    return flash_attention(q, k, v), (q, k, v)
+def _fwd(q, k, v, scale):
+    return flash_attention(q, k, v, scale), (q, k, v)
 
 
-def _bwd(res, g):
+def _bwd(scale, res, g):
     q, k, v = res
-    d = q.shape[-1]
-    scale = 1.0 / math.sqrt(d)
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)

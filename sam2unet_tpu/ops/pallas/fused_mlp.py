@@ -189,6 +189,100 @@ def fused_ln_matmul(x, w, b, ln_scale, ln_bias, add_bias=True):
     return out.reshape(*shape[:-1], d_out)
 
 
+def _ln_qkv_kernel(x_ref, w_ref, b_ref, ln_ref, q_ref, k_ref, v_ref,
+                   *, c: int, add_bias: bool):
+    x = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    y = y * ln_ref[0].astype(jnp.float32) + ln_ref[1].astype(jnp.float32)
+    full = jnp.dot(y.astype(q_ref.dtype), w_ref[:],
+                   preferred_element_type=jnp.float32)
+    if add_bias:
+        full = full + b_ref[:].astype(jnp.float32)
+    full = full.astype(q_ref.dtype)
+    # the q/k/v split happens here in VMEM (a vector relayout) instead of
+    # as three lane-misaligned HBM slice copies downstream (c is rarely a
+    # multiple of the 128-lane width: 144/288/576)
+    q_ref[:] = full[:, :c]
+    k_ref[:] = full[:, c : 2 * c]
+    v_ref[:] = full[:, 2 * c :]
+
+
+def _xla_ln_qkv(x, w, b, ln_scale, ln_bias, add_bias=True):
+    full = _xla_ln_matmul(x, w, b, ln_scale, ln_bias, add_bias)
+    c = w.shape[1] // 3
+    return full[..., :c], full[..., c : 2 * c], full[..., 2 * c :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_ln_qkv(x, w, b, ln_scale, ln_bias, add_bias=True):
+    """LayerNorm -> x @ W_qkv [+ b] -> split into (q, k, v), one kernel.
+
+    One HBM pass over x, qkv matmul at full MXU width, and the split is an
+    in-VMEM relayout — the three outputs land as separate aligned arrays.
+    Replaces hieradet.py:60-63's qkv projection + unbind."""
+    if jax.default_backend() != "tpu":
+        return _xla_ln_qkv(x, w, b, ln_scale, ln_bias, add_bias)
+    shape = x.shape
+    d = shape[-1]
+    n = 1
+    for s in shape[:-1]:
+        n *= s
+    xf = x.reshape(n, d)
+    pad = (-n) % _TILE
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    np_ = xf.shape[0]
+    c = w.shape[1] // 3
+    ln = jnp.stack([jnp.asarray(ln_scale, x.dtype), jnp.asarray(ln_bias, x.dtype)])
+    out_sd = jax.ShapeDtypeStruct((np_, c), x.dtype)
+    q, k, v = pl.pallas_call(
+        functools.partial(_ln_qkv_kernel, c=c, add_bias=add_bias),
+        grid=(np_ // _TILE,),
+        in_specs=[
+            pl.BlockSpec((_TILE, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((_TILE, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ),
+        out_shape=(out_sd, out_sd, out_sd),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * d * 3 * c,
+            bytes_accessed=(np_ * (d + 3 * c)) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xf, w.astype(x.dtype), b.reshape(1, -1).astype(x.dtype), ln)
+    outs = []
+    for t in (q, k, v):
+        if pad:
+            t = t[:n]
+        outs.append(t.reshape(*shape[:-1], c))
+    return tuple(outs)
+
+
+def _lq_fwd(x, w, b, ln_scale, ln_bias, add_bias):
+    out = fused_ln_qkv(x, w, b, ln_scale, ln_bias, add_bias)
+    return out, (x, w, b, ln_scale, ln_bias)
+
+
+def _lq_bwd(add_bias, res, g):
+    x, w, b, ln_scale, ln_bias = res
+
+    def ref(x, w, b, ln_scale, ln_bias):
+        return _xla_ln_qkv(x, w, b, ln_scale, ln_bias, add_bias)
+
+    _, vjp = jax.vjp(ref, x, w, b, ln_scale, ln_bias)
+    return vjp(g)
+
+
+fused_ln_qkv.defvjp(_lq_fwd, _lq_bwd)
+
+
 def _lm_fwd(x, w, b, ln_scale, ln_bias, add_bias):
     out = fused_ln_matmul(x, w, b, ln_scale, ln_bias, add_bias)
     return out, (x, w, b, ln_scale, ln_bias)

@@ -49,6 +49,38 @@ def test_fused_mlp_ln_residual_grads():
                                    atol=1e-5)
 
 
+def test_fused_ln_qkv_matches_ln_matmul_slices():
+    from sam2unet_tpu.ops.pallas.fused_mlp import fused_ln_qkv
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((5, 4, 4, 12)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((12, 36)) * 0.2)
+    b = jnp.asarray(rng.standard_normal(36) * 0.3)
+    scale = jnp.asarray(rng.standard_normal(12))
+    bias = jnp.asarray(rng.standard_normal(12))
+    for add_bias in (True, False):
+        q, k, v = fused_ln_qkv(x, w, b, scale, bias, add_bias)
+        full = fused_ln_matmul(x, w, b, scale, bias, add_bias)
+        for got, ref in zip((q, k, v), jnp.split(full, 3, axis=-1)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
+    # gradients flow through the custom vjp
+    def loss(x, w):
+        q, k, v = fused_ln_qkv(x, w, b, scale, bias)
+        return (q * 2 + k - v).sum()
+
+    def loss_ref(x, w):
+        full = fused_ln_matmul(x, w, b, scale, bias)
+        q, k, v = jnp.split(full, 3, axis=-1)
+        return (q * 2 + k - v).sum()
+
+    g = jax.grad(loss, argnums=(0, 1))(x, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    for a, r in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_fused_ln_matmul_matches_norm_then_dense():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((3, 6, 6, 24)), jnp.float32)
@@ -154,11 +186,14 @@ def test_valid_window_attention_matches_padded_attention():
         bound.attend(qkv_pad, bias=bias), window, pad_hw, (h, w)
     )
 
-    # pad-free ordering: valid groups + synthetic key, proj after merge
-    outs = [
-        bound.attend_valid(g, bias, n_pad)
-        for g, n_pad in window_partition_valid(qkv_nobias, window)
-    ]
+    # pad-free ordering: partition raw x, project per group (bias
+    # included), valid attention + synthetic key, proj after merge
+    outs = []
+    for g, n_pad in window_partition_valid(x, window):
+        qkv_g = bound.project_qkv(g, add_bias=True)
+        q, k, v = (qkv_g[..., :dim], qkv_g[..., dim : 2 * dim],
+                   qkv_g[..., 2 * dim :])
+        outs.append(bound.attend_valid(q, k, v, n_pad))
     got = bound.project_out(window_merge_valid(outs, b, h, w, window))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
