@@ -85,58 +85,6 @@ class MultiScaleAttention(nn.Module):
     def head_dim(self) -> int:
         return self.dim_out // self.num_heads
 
-    def project_qkv3(self, x: jnp.ndarray, ln_scale, ln_bias,
-                     add_bias: bool = True):
-        """Fused LN -> qkv matmul -> in-VMEM split: three aligned (…, c)
-        outputs, no lane-misaligned HBM slice copies downstream.
-
-        NOTE: a variant that zero-pads each head to the 128-lane width in
-        the weights (making every head reshape a bitcast) measured SLOWER
-        end to end (213.1 vs 229.6 img/s infer, 70.9 vs 78.6 train) — the
-        +78% real bytes in the 2-D (rows, 3c) qkv tensors outweigh the
-        relayout savings. Keep logical head widths."""
-        from sam2unet_tpu.ops.pallas.fused_mlp import fused_ln_qkv
-
-        return fused_ln_qkv(
-            x.astype(self.dtype), self.qkv.kernel, self.qkv.bias,
-            ln_scale, ln_bias, add_bias,
-        )
-
-    def attend_parts(self, q, k, v) -> jnp.ndarray:
-        """Attention + output projection over separate (B', gh, gw, c)
-        q/k/v (bias already applied)."""
-        b, gh, gw, c = q.shape
-        nh = self.num_heads
-        s = gh * gw
-        o = sdpa(q.reshape(b, s, nh, -1), k.reshape(b, s, nh, -1),
-                 v.reshape(b, s, nh, -1))
-        return self.project_out(o.reshape(b, gh, gw, c))
-
-    def attend_valid(self, q, k, v, n_pad: int):
-        """Exact pad-free window attention (see ops/windowing.py
-        window_partition_valid) over separate biased q/k/v: the reference's
-        pad tokens (projected zeros = exactly the projection bias) fold
-        into one synthetic bias key of multiplicity n_pad. Returns
-        PRE-projection outputs (B', gh, gw, c) so the caller can run one
-        unpadded output projection after the merge."""
-        from sam2unet_tpu.ops.pallas.flash_attention import attention_with_padkey
-
-        b, gh, gw, c = q.shape
-        nh = self.num_heads
-        s = gh * gw
-        q = q.reshape(b, s, nh, -1)
-        k = k.reshape(b, s, nh, -1)
-        v = v.reshape(b, s, nh, -1)
-        if n_pad == 0:
-            o = sdpa(q, k, v)
-        else:
-            hd = c // nh
-            bias = self.qkv.bias
-            k_pad = bias[c : 2 * c].reshape(nh, hd)
-            v_pad = bias[2 * c :].reshape(nh, hd)
-            o = attention_with_padkey(q, k, v, k_pad, v_pad, n_pad)
-        return o.reshape(b, gh, gw, c)
-
     def project_out(self, o: jnp.ndarray) -> jnp.ndarray:
         o = jnp.dot(o.astype(self.dtype), self.proj.kernel.astype(self.dtype))
         return o + self.proj.bias.astype(self.dtype)
@@ -189,46 +137,56 @@ class MultiScaleBlock(nn.Module):
         h, w = x.shape[1], x.shape[2]
         window = self.window_size
 
-        # Dim-preserving blocks: partition the raw activations (C-wide, no
-        # pads on either path), then one fused LN+QKV+split kernel over the
-        # windowed rows — pre-norm never round-trips HBM and q/k/v land as
-        # separate aligned arrays.
+        # Dim-preserving blocks run as ONE Pallas program per window group:
+        # LN -> QKV -> attention (synthetic pad key for remainder groups) ->
+        # proj -> residual, everything between x-in and y-out stays in VMEM
+        # (ops/pallas/fused_attention_block.py). The raw activations are
+        # partitioned first (C-wide transpose; exact because neither window
+        # path pads: divisible grids partition cleanly, remainder grids use
+        # valid-token groups). With an active DropPath the residual is kept
+        # outside the kernel.
         if self.dim == self.dim_out:
             assert self.q_stride is None, "q-pool implies a dim change"
-            ln1 = LNParams(self.dim, name="norm1")
-            if window > 0:
-                # Partition the RAW activations first (C-wide transpose, 3x
-                # cheaper than moving the projected qkv), then run the fused
-                # LN+QKV kernel on partitioned tokens — row-parallel, so the
-                # window structure is invisible to it. Exact because neither
-                # path pads: divisible grids partition cleanly, remainder
-                # grids use valid-token groups + the synthetic pad key.
-                # (A layout-native split-dim einsum variant measured SLOWER,
-                # 153.8 vs 195.8 img/s — XLA re-transposes the 8-D dot
-                # operands internally; the explicit partition is cheaper.)
-                if h % window or w % window:
-                    from sam2unet_tpu.ops.windowing import (
-                        window_merge_valid,
-                        window_partition_valid,
-                    )
+            from sam2unet_tpu.ops.pallas.fused_attention_block import (
+                fused_window_block,
+            )
 
-                    outs = [
-                        attn.attend_valid(
-                            *attn.project_qkv3(g, ln1.scale, ln1.bias),
-                            n_pad,
-                        )
-                        for g, n_pad in window_partition_valid(x, window)
-                    ]
-                    x = attn.project_out(
-                        window_merge_valid(outs, x.shape[0], h, w, window)
-                    )
-                else:
-                    xw, pad_hw = window_partition(x, window)
-                    q, k, v = attn.project_qkv3(xw, ln1.scale, ln1.bias)
-                    x = attn.attend_parts(q, k, v)
-                    x = window_unpartition(x, window, pad_hw, (h, w))
+            ln1 = LNParams(self.dim, name="norm1")
+            fuse_res = not (train and self.drop_path > 0.0)
+            wargs = (attn.qkv.kernel, attn.qkv.bias, ln1.scale, ln1.bias,
+                     attn.proj.kernel, attn.proj.bias)
+            kargs = dict(num_heads=self.num_heads, residual=fuse_res)
+            b = x.shape[0]
+            xd = x.astype(self.dtype)
+            if window > 0 and (h % window or w % window):
+                from sam2unet_tpu.ops.windowing import (
+                    window_merge_valid,
+                    window_partition_valid,
+                )
+
+                outs = []
+                for g, n_pad in window_partition_valid(xd, window):
+                    nw_, gh, gw, c = g.shape
+                    o = fused_window_block(g.reshape(nw_, gh * gw, c),
+                                           *wargs, n_pad=n_pad, **kargs)
+                    outs.append(o.reshape(nw_, gh, gw, c))
+                y = window_merge_valid(outs, b, h, w, window)
+            elif window > 0:
+                xw, pad_hw = window_partition(xd, window)
+                nw_, wh, ww, c = xw.shape
+                o = fused_window_block(xw.reshape(nw_, wh * ww, c),
+                                       *wargs, **kargs)
+                y = window_unpartition(o.reshape(nw_, wh, ww, c), window,
+                                       pad_hw, (h, w))
             else:
-                x = attn.attend_parts(*attn.project_qkv3(x, ln1.scale, ln1.bias))
+                o = fused_window_block(xd.reshape(b, h * w, xd.shape[-1]),
+                                       *wargs, **kargs)
+                y = o.reshape(b, h, w, -1)
+            if fuse_res:
+                x = y
+            else:
+                dp = DropPath(self.drop_path, name="drop_path")
+                x = shortcut + dp(y, train)
         else:
             xn = layer_norm(self.dtype, name="norm1")(x)
             shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(xn)
@@ -250,9 +208,8 @@ class MultiScaleBlock(nn.Module):
                     )
             elif window > 0:
                 x = window_unpartition(x, window, pad_hw, (h, w))
-
-        dp = DropPath(self.drop_path, name="drop_path")
-        x = shortcut + dp(x, train)
+            dp = DropPath(self.drop_path, name="drop_path")
+            x = shortcut + dp(x, train)
 
         hidden = int(self.dim_out * self.mlp_ratio)
         if self.drop_path == 0.0 or not train:

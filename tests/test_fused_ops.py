@@ -146,10 +146,14 @@ def test_valid_window_groups_roundtrip_and_coverage():
         np.testing.assert_allclose(np.asarray(back), np.asarray(x))
 
 
-def test_valid_window_attention_matches_padded_attention():
-    """valid-group + synthetic-pad-key attention == zero-pad window path
-    for the same attention params (the reference's ordering)."""
+def test_fused_window_block_matches_padded_window_path():
+    """The whole-block kernel (LN->qkv->valid-group attention with the
+    synthetic pad key->proj->residual) == the reference ordering: LN, zero
+    -pad window partition of the projection, full attention, crop."""
     from sam2unet_tpu.models.hiera import MultiScaleAttention
+    from sam2unet_tpu.ops.pallas.fused_attention_block import (
+        fused_window_block,
+    )
     from sam2unet_tpu.ops.windowing import (
         window_merge_valid,
         window_partition_fill,
@@ -160,43 +164,53 @@ def test_valid_window_attention_matches_padded_attention():
     rng = np.random.default_rng(6)
     b, h, w, dim, heads, window = 2, 11, 11, 16, 2, 8
     x = jnp.asarray(rng.standard_normal((b, h, w, dim)) * 0.5, jnp.float32)
-    att = MultiScaleAttention(dim, dim, heads)
-    variables = att.init(jax.random.PRNGKey(0), x)
+    w_qkv = jnp.asarray(rng.standard_normal((dim, 3 * dim)) * 0.2, jnp.float32)
     # non-zero qkv bias so the synthetic pad key actually matters
-    variables = {
-        "params": {
-            **variables["params"],
-            "qkv": {
-                "kernel": jnp.asarray(
-                    rng.standard_normal((dim, 3 * dim)) * 0.2, jnp.float32
-                ),
-                "bias": jnp.asarray(
-                    rng.standard_normal(3 * dim) * 0.5, jnp.float32
-                ),
-            },
-        }
-    }
-    bound = att.bind(variables)
-    qkv_nobias = bound.project_qkv(x, add_bias=False)
-    bias = variables["params"]["qkv"]["bias"]
+    b_qkv = jnp.asarray(rng.standard_normal(3 * dim) * 0.5, jnp.float32)
+    lns = jnp.asarray(rng.standard_normal(dim) * 0.3 + 1, jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal(dim) * 0.2, jnp.float32)
+    w_proj = jnp.asarray(rng.standard_normal((dim, dim)) * 0.2, jnp.float32)
+    b_proj = jnp.asarray(rng.standard_normal(dim) * 0.2, jnp.float32)
 
-    # reference ordering: zero-pad partition, bias joins in attend
-    qkv_pad, pad_hw = window_partition_fill(qkv_nobias, window, bias)
-    ref = window_unpartition(
-        bound.attend(qkv_pad, bias=bias), window, pad_hw, (h, w)
+    att = MultiScaleAttention(dim, dim, heads)
+    variables = {"params": {
+        "qkv": {"kernel": w_qkv, "bias": b_qkv},
+        "proj": {"kernel": w_proj, "bias": b_proj},
+    }}
+    bound = att.bind(variables)
+
+    # reference ordering: LN, bias-free projection, zero-pad partition
+    # (pads land as exactly the bias), full-window attention, crop
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) / np.sqrt(np.asarray(var) + 1e-6) * lns + lnb
+    qkv_pad, pad_hw = window_partition_fill(y @ w_qkv, window, b_qkv)
+    ref = x + window_unpartition(
+        bound.attend(qkv_pad, bias=b_qkv), window, pad_hw, (h, w)
     )
 
-    # pad-free ordering: partition raw x, project per group (bias
-    # included), valid attention + synthetic key, proj after merge
+    # fused kernel path (CPU: the XLA reference form): valid groups +
+    # synthetic pad key, residual folded in
     outs = []
     for g, n_pad in window_partition_valid(x, window):
-        qkv_g = bound.project_qkv(g, add_bias=True)
-        q, k, v = (qkv_g[..., :dim], qkv_g[..., dim : 2 * dim],
-                   qkv_g[..., 2 * dim :])
-        outs.append(bound.attend_valid(q, k, v, n_pad))
-    got = bound.project_out(window_merge_valid(outs, b, h, w, window))
+        nw_, gh, gw, c = g.shape
+        o = fused_window_block(g.reshape(nw_, gh * gw, c), w_qkv, b_qkv,
+                               lns, lnb, w_proj, b_proj, num_heads=heads,
+                               n_pad=n_pad, residual=True)
+        outs.append(o.reshape(nw_, gh, gw, c))
+    got = window_merge_valid(outs, b, h, w, window)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
+    # gradients flow through the custom VJP (recompute path)
+    def loss(x):
+        o = fused_window_block(
+            x.reshape(1, h * w, dim), w_qkv, b_qkv, lns, lnb, w_proj,
+            b_proj, num_heads=heads, n_pad=0, residual=True)
+        return (o ** 2).sum()
+
+    gval = jax.grad(loss)(x[:1])
+    assert np.isfinite(np.asarray(gval)).all()
 
 
 def test_partition_fill_equals_project_after_pad():
