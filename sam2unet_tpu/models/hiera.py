@@ -16,6 +16,7 @@ input size at trace time, so jit sees a fixed program.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -123,6 +124,10 @@ class MultiScaleBlock(nn.Module):
     q_stride: tuple[int, int] | None = None
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    # frozen=True mirrors the fork's hard trunk freeze (SAM2UNet.py:52-65
+    # requires_grad_(False)): block weights are wrapped in stop_gradient and
+    # the fused kernels skip weight-grad computation entirely.
+    frozen: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -155,10 +160,19 @@ class MultiScaleBlock(nn.Module):
             fuse_res = not (train and self.drop_path > 0.0)
             wargs = (attn.qkv.kernel, attn.qkv.bias, ln1.scale, ln1.bias,
                      attn.proj.kernel, attn.proj.bias)
-            kargs = dict(num_heads=self.num_heads, residual=fuse_res)
+            if self.frozen:
+                wargs = tuple(jax.lax.stop_gradient(t) for t in wargs)
+            kargs = dict(num_heads=self.num_heads, residual=fuse_res,
+                         weight_grads=not self.frozen)
             b = x.shape[0]
             xd = x.astype(self.dtype)
             if window > 0 and (h % window or w % window):
+                # NOTE: a whole-grid masked single call (block-diagonal
+                # window mask + per-query pad-key multiplicity, supported by
+                # the kernel via attn_mask/pad_logmult) measured SLOWER than
+                # these valid groups at 352 — 241.6/81.6 vs 261.8/88.2
+                # img/s — the S^2 score blowup outweighs the saved
+                # partition/merge slices.
                 from sam2unet_tpu.ops.windowing import (
                     window_merge_valid,
                     window_partition_valid,
@@ -326,8 +340,12 @@ class Hiera(nn.Module):
         outputs = []
         for i, bk in enumerate(_block_plan(cfg)):
             if self.use_adapters:
+                # adapters imply the fork's hard trunk freeze
+                # (SAM2UNet.py:52-65): block weights get stop_gradient and
+                # the fused kernels skip weight-grad work
                 block_cls = AdapterBlock
-                kwargs = dict(block_kwargs=bk, adapter_dim=self.adapter_dim,
+                kwargs = dict(block_kwargs=dict(**bk, frozen=True),
+                              adapter_dim=self.adapter_dim,
                               dtype=self.dtype, name=f"blocks_{i}")
             else:
                 block_cls = MultiScaleBlock

@@ -44,10 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 _LN_EPS = 1e-6
 
 
-def _kernel(x_ref, w_ref, b_ref, ln_ref, wp_ref, bp_ref, kvp_ref, o_ref,
-            y_buf, acc,
+def _kernel(x_ref, w_ref, b_ref, ln_ref, wp_ref, bp_ref, kvp_ref,
+            mask_ref, lm_ref, o_ref, y_buf, acc,
             *, nh: int, n_pad: int, scale: float, residual: bool,
-            s_valid: int):
+            s_valid: int, masked: bool):
     h = pl.program_id(1)
     x = x_ref[:]                                   # (G, S, c)
     g, s, c = x.shape
@@ -77,18 +77,25 @@ def _kernel(x_ref, w_ref, b_ref, ln_ref, wp_ref, bp_ref, kvp_ref, o_ref,
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale
-    if s_valid < s:
+    if masked:
+        # whole small grids in one call: additive block-diagonal window
+        # mask (covers row pads too) + per-query pad-key log-multiplicity
+        sc = sc + mask_ref[:][None]
+    elif s_valid < s:
         # caller row-padded S up to a relayout-friendly multiple; the pad
         # rows must not act as keys (queries are cropped by the caller)
         col = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 2)
         sc = jnp.where(col < s_valid, sc, -1e30)
 
-    if n_pad:
+    if n_pad or masked:
         kvp = kvp_ref[:].astype(jnp.float32)       # (1, 2, d), lane-aligned
         k_pad = kvp[:, 0:1, :]                     # (1, 1, d)
         v_pad = kvp[:, 1:2, :]
         sp = jnp.sum(q.astype(jnp.float32) * k_pad, axis=-1) * scale
-        sp = sp + math.log(n_pad)                  # (G, S)
+        if masked:
+            sp = sp + lm_ref[:]                    # (G, S) + (1, S)
+        else:
+            sp = sp + math.log(n_pad)              # (G, S)
         m = jnp.maximum(jnp.max(sc, axis=-1), sp)
         e = jnp.exp(sc - m[..., None])
         ep = jnp.exp(sp - m)
@@ -103,7 +110,7 @@ def _kernel(x_ref, w_ref, b_ref, ln_ref, wp_ref, bp_ref, kvp_ref, o_ref,
         p, v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    if n_pad:
+    if n_pad or masked:
         o = o + (ep / den)[..., None] * v_pad
 
     out_h = jax.lax.dot_general(                   # (G*S, c) fp32
@@ -140,7 +147,8 @@ def _pick_group(n_windows: int, s: int, c: int, d: int) -> int:
 
 
 def _xla_window_block(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
-                      num_heads, n_pad=0, residual=True):
+                      num_heads, n_pad=0, residual=True,
+                      attn_mask=None, pad_logmult=None):
     """Reference XLA form (CPU fallback, VJP recompute, tests)."""
     from sam2unet_tpu.ops.pallas.flash_attention import (
         _xla_attention,
@@ -159,7 +167,20 @@ def _xla_window_block(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
                   preferred_element_type=jnp.float32)
     qkv = (qkv + b_qkv).astype(x.dtype).reshape(nw, s, 3, num_heads, d)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    if n_pad:
+    if attn_mask is not None:
+        b3 = b_qkv.reshape(3, num_heads, d)
+        scale = 1.0 / math.sqrt(d)
+        sc = jnp.einsum("bqhd,bkhd->bqhk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+        sc = sc + attn_mask[None, :, None, :]
+        sp = jnp.einsum("bqhd,hd->bqh", q, b3[1].astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+        sp = sp + pad_logmult.reshape(-1)[None, :, None]
+        pfull = jax.nn.softmax(
+            jnp.concatenate([sc, sp[..., None]], axis=-1), axis=-1)
+        o = jnp.einsum("bqhk,bkhd->bqhd", pfull[..., :-1].astype(v.dtype), v)
+        o = o + pfull[..., -1:].astype(v.dtype) * b3[2].astype(v.dtype)
+    elif n_pad:
         b3 = b_qkv.reshape(3, num_heads, d)
         o = attention_with_padkey(q, k, v, b3[1], b3[2], n_pad)
     else:
@@ -173,20 +194,43 @@ def _xla_window_block(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
 
 def fused_window_block(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
                        num_heads: int, n_pad: int = 0,
-                       residual: bool = True):
-    """x: (nW, S, c) window rows -> (nW, S, c) attention-block output."""
+                       residual: bool = True, weight_grads: bool = True,
+                       attn_mask=None, pad_logmult=None):
+    """x: (nW, S, c) window rows -> (nW, S, c) attention-block output.
+
+    weight_grads=False declares the block's own parameters frozen (the
+    fork freezes the whole trunk, SAM2UNet.py:52-65 requires_grad_(False)):
+    the backward then computes ONLY dx — much lighter in VMEM and FLOPs —
+    and returns zero weight grads. Callers must pair it with
+    stop_gradient on the weights so the semantics hold regardless.
+
+    attn_mask/pad_logmult enable MASKED mode: x is a whole small token grid
+    (nW = batch, S = H*W <= ~512 tokens), attn_mask is an additive (S, S)
+    block-diagonal window mask, and pad_logmult an additive (1, S)
+    per-query log-multiplicity for the synthetic pad key (-1e30 where the
+    query's window has no pads). One kernel call replaces the 4 valid-group
+    calls and their partition/merge slice traffic."""
+    masked = attn_mask is not None
+    if not masked:
+        attn_mask = jnp.zeros((8, 128), jnp.float32)
+        pad_logmult = jnp.zeros((1, 8), jnp.float32)
     return _fused_window_block_vjp(
         x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
-        num_heads, n_pad, residual,
+        attn_mask, pad_logmult,
+        num_heads, n_pad, residual, weight_grads, masked,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
 def _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
-                            b_proj, num_heads, n_pad, residual):
+                            b_proj, attn_mask, pad_logmult,
+                            num_heads, n_pad, residual,
+                            weight_grads=True, masked=False):
     if jax.default_backend() != "tpu":
-        return _xla_window_block(x, w_qkv, b_qkv, ln_scale, ln_bias,
-                                 w_proj, b_proj, num_heads, n_pad, residual)
+        return _xla_window_block(
+            x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
+            num_heads, n_pad, residual,
+            attn_mask if masked else None, pad_logmult if masked else None)
     nw, s, c = x.shape
     nh = num_heads
     d = c // nh
@@ -198,6 +242,11 @@ def _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
     row_pad = (-s) % 16
     if row_pad:
         x = jnp.pad(x, ((0, 0), (0, row_pad), (0, 0)))
+        if masked:
+            attn_mask = jnp.pad(attn_mask, ((0, row_pad), (0, row_pad)),
+                                constant_values=-1e30)
+            pad_logmult = jnp.pad(pad_logmult, ((0, 0), (0, row_pad)),
+                                  constant_values=-1e30)
         s = s + row_pad
     g = _pick_group(nw, s, c, d)
     # per-head weight layout: qkv (c, [3, nh, d]) -> (nh, c, 3d);
@@ -210,7 +259,7 @@ def _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
     out = pl.pallas_call(
         functools.partial(_kernel, nh=nh, n_pad=n_pad,
                           scale=1.0 / math.sqrt(d), residual=residual,
-                          s_valid=s_valid),
+                          s_valid=s_valid, masked=masked),
         grid=(nw // g, nh),
         in_specs=[
             pl.BlockSpec((g, s, c), lambda i, h: (i, 0, 0),
@@ -226,6 +275,10 @@ def _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
             pl.BlockSpec((1, c), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, d), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(attn_mask.shape, lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(pad_logmult.shape, lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((g, s, c), lambda i, h: (i, 0, 0),
@@ -244,27 +297,375 @@ def _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
       wp3.astype(x.dtype), b_proj.reshape(1, -1).astype(jnp.float32),
       # (nh, 2, d): per-head [k_pad; v_pad] rows, lane-aligned for the
       # synthetic-pad-key path (zeros, unused, when n_pad == 0)
-      b_qkv.reshape(3, nh, d)[1:].transpose(1, 0, 2).astype(jnp.float32))
+      b_qkv.reshape(3, nh, d)[1:].transpose(1, 0, 2).astype(jnp.float32),
+      attn_mask.astype(jnp.float32), pad_logmult.astype(jnp.float32))
     if row_pad:
         out = out[:, :s_valid]
     return out
 
 
+def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
+                mask_ref, lm_ref,
+                *refs,
+                nh: int, scale: float, residual: bool, s_valid: int,
+                wg: bool, masked: bool):
+    if wg:
+        (dx_ref, dw_ref, db_ref, dls_ref, dlb_ref, dwp_ref, dbp_ref,
+         y_buf, mu_buf, r_buf, dy_acc) = refs
+    else:
+        dx_ref, y_buf, mu_buf, r_buf, dy_acc = refs
+    """Fused backward for the n_pad == 0 case: recomputes LN/qkv/softmax in
+    VMEM (no residuals saved beyond x) and emits dx plus all weight grads.
+    Grid (windows, heads): x/g blocks revolve on the window index; weight
+    grads accumulate in per-head-indexed f32 scratches across the whole
+    grid and are written once at the final step."""
+    i = pl.program_id(0)
+    h = pl.program_id(1)
+    n_i = pl.num_programs(0)
+    x = x_ref[:]                                   # (G, S, c)
+    gy = g_ref[:]                                  # (G, S, c) output grad
+    g, s, c = x.shape
+
+    # weight-grad OUTPUT blocks have constant index maps, so their single
+    # VMEM buffer persists across the whole grid: accumulate directly into
+    # them (no scratch twins — the duplicate buffers blew the VMEM budget)
+    if wg:
+        @pl.when(jnp.logical_and(i == 0, h == 0))
+        def _():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+            db_ref[:] = jnp.zeros_like(db_ref)
+            dls_ref[:] = jnp.zeros_like(dls_ref)
+            dlb_ref[:] = jnp.zeros_like(dlb_ref)
+            dwp_ref[:] = jnp.zeros_like(dwp_ref)
+            dbp_ref[:] = jnp.zeros_like(dbp_ref)
+
+    @pl.when(h == 0)
+    def _():
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        r = jax.lax.rsqrt(var + _LN_EPS)
+        y = (xf - mu) * r
+        y = y * ln_ref[0].astype(jnp.float32) + ln_ref[1].astype(jnp.float32)
+        y_buf[:] = y.astype(x.dtype)
+        mu_buf[:] = mu
+        r_buf[:] = r
+        if wg:
+            gf = gy.astype(jnp.float32)
+            dbp_ref[:] = dbp_ref[:] + jnp.sum(gf.reshape(g * s, c), axis=0,
+                                              keepdims=True)
+
+    # ---- forward recompute for this head ----
+    y2 = y_buf[:].reshape(g * s, c)
+    qkv = jax.lax.dot_general(
+        y2, w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + b_ref[:].astype(jnp.float32)[0]).astype(x.dtype)
+    d = qkv.shape[-1] // 3
+    q = qkv[:, :d].reshape(g, s, d)
+    k = qkv[:, d : 2 * d].reshape(g, s, d)
+    v = qkv[:, 2 * d :].reshape(g, s, d)
+    sc = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if masked:
+        sc = sc + mask_ref[:][None]
+        kvp = kvp_ref[:].astype(jnp.float32)       # (1, 2, d)
+        k_pad = kvp[:, 0:1, :]
+        v_pad = kvp[:, 1:2, :]
+        sp = jnp.sum(q.astype(jnp.float32) * k_pad, axis=-1) * scale
+        sp = sp + lm_ref[:]                        # (G, S)
+        m = jnp.maximum(jnp.max(sc, axis=-1), sp)[..., None]
+        e = jnp.exp(sc - m)
+        ep = jnp.exp(sp - m[..., 0])
+        den = jnp.sum(e, axis=-1) + ep
+        p = e / den[..., None]                     # (G, S, S) fp32
+        pp = ep / den                              # (G, S) pad-key prob
+    else:
+        if s_valid < s:
+            col = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 2)
+            sc = jnp.where(col < s_valid, sc, -1e30)
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    # ---- backward ----
+    g2 = gy.astype(x.dtype).reshape(g * s, c)
+    do = jax.lax.dot_general(                      # dO = g @ WpT: (G*S, d)
+        g2, wp_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(g, s, d)
+    dp = jax.lax.dot_general(                      # (G, S, S)
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    pb = p.astype(x.dtype)
+    dv = jax.lax.dot_general(                      # (G, S_k, d)
+        pb, do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if masked:
+        # augmented-softmax backward: the synthetic pad key participates in
+        # the normalizer; its value/key are frozen bias slices (no grads)
+        dpp = jnp.sum(do.astype(jnp.float32) * v_pad, axis=-1)   # (G, S)
+        t = jnp.sum(dp * p, axis=-1) + dpp * pp                  # (G, S)
+        ds = p * (dp - t[..., None]) * scale
+        ds_pad = pp * (dpp - t) * scale                          # (G, S)
+    else:
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    ds = ds.astype(x.dtype)
+    dq = jax.lax.dot_general(                      # (G, S, d)
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if masked:
+        dq = dq + ds_pad[..., None] * k_pad
+    dk = jax.lax.dot_general(                      # ds^T q: (G, S_k, d)
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    dqf = dq.astype(x.dtype).reshape(g * s, d)
+    dkf = dk.astype(x.dtype).reshape(g * s, d)
+    dvf = dv.astype(x.dtype).reshape(g * s, d)
+    wq = w_ref[0][:, :d]
+    wk = w_ref[0][:, d : 2 * d]
+    wv = w_ref[0][:, 2 * d :]
+
+    def dotT(a, b):                                # a (N, d) @ b^T (c, d)
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dy_h = dotT(dqf, wq) + dotT(dkf, wk) + dotT(dvf, wv)  # (G*S, c)
+    dy_h = dy_h.reshape(g, s, c)
+
+    @pl.when(h == 0)
+    def _():
+        dy_acc[:] = dy_h
+
+    @pl.when(h > 0)
+    def _():
+        dy_acc[:] = dy_acc[:] + dy_h
+
+    if wg:
+        # weight grads, accumulated per head across the whole grid
+        yb = y2.astype(x.dtype)
+
+        def dW(dpart):                             # y^T dpart: (c, d)
+            return jax.lax.dot_general(
+                yb, dpart, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        hq = pl.ds(h, 1)
+        dw_ref[hq, 0] = dw_ref[hq, 0] + dW(dqf)[None]
+        dw_ref[hq, 1] = dw_ref[hq, 1] + dW(dkf)[None]
+        dw_ref[hq, 2] = dw_ref[hq, 2] + dW(dvf)[None]
+        dbs = jnp.concatenate(
+            [jnp.sum(t, axis=0, keepdims=True) for t in (dqf, dkf, dvf)],
+            axis=0,
+        ).astype(jnp.float32)                      # (3, d) bias grads
+        db_ref[hq] = db_ref[hq] + dbs[None]
+        ob = jax.lax.dot_general(                  # o = p v: (G, S, d)
+            pb, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype).reshape(g * s, d)
+        dwp_ref[hq] = dwp_ref[hq] + jax.lax.dot_general(  # o^T g: (d, c)
+            ob, g2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[None]
+
+    @pl.when(h == nh - 1)
+    def _():
+        xf = x.astype(jnp.float32)
+        r = r_buf[:]
+        xhat = (xf - mu_buf[:]) * r
+        dy = dy_acc[:]
+        if wg:
+            # LN param grads
+            dls_ref[:] = dls_ref[:] + jnp.sum(
+                (dy * xhat).reshape(g * s, c), axis=0, keepdims=True)
+            dlb_ref[:] = dlb_ref[:] + jnp.sum(
+                dy.reshape(g * s, c), axis=0, keepdims=True)
+        # LN input grad
+        dxhat = dy * ln_ref[0].astype(jnp.float32)
+        mean1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mean2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = r * (dxhat - mean1 - xhat * mean2)
+        if residual:
+            dx = dx + gy.astype(jnp.float32)
+        dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _fused_window_block_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
+                                 w_proj, num_heads, residual,
+                                 weight_grads=True, attn_mask=None,
+                                 pad_logmult=None, interpret=False):
+    """Returns (dx, dw_qkv, db_qkv, dln_scale, dln_bias, dw_proj, db_proj)
+    for the n_pad == 0 fused window block; with weight_grads=False only dx
+    is computed (frozen-trunk training) and the rest are None."""
+    nw, s, c = x.shape
+    nh = num_heads
+    d = c // nh
+    masked = attn_mask is not None
+    s_valid = s
+    row_pad = (-s) % 16
+    if row_pad:
+        x = jnp.pad(x, ((0, 0), (0, row_pad), (0, 0)))
+        gy = jnp.pad(gy, ((0, 0), (0, row_pad), (0, 0)))
+        if masked:
+            attn_mask = jnp.pad(attn_mask, ((0, row_pad), (0, row_pad)),
+                                constant_values=-1e30)
+            pad_logmult = jnp.pad(pad_logmult, ((0, 0), (0, row_pad)),
+                                  constant_values=-1e30)
+        s = s + row_pad
+    if not masked:
+        attn_mask = jnp.zeros((8, 128), jnp.float32)
+        pad_logmult = jnp.zeros((1, 8), jnp.float32)
+    g = max(1, _pick_group(nw, s, c, d) // 2)      # bwd holds more live VMEM
+    while nw % g:
+        g -= 1
+    w3 = w_qkv.reshape(c, 3, nh, d).transpose(2, 0, 1, 3).reshape(nh, c, 3 * d)
+    b3 = b_qkv.reshape(3, nh, d).transpose(1, 0, 2).reshape(nh, 1, 3 * d)
+    wp3 = w_proj.reshape(nh, d, c)
+    ln = jnp.stack([jnp.asarray(ln_scale, x.dtype),
+                    jnp.asarray(ln_bias, x.dtype)])
+    f32 = jnp.float32
+    wg = weight_grads
+    grad_out_specs = (
+        pl.BlockSpec((nh, 3, c, d), lambda i, h: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nh, 3, d), lambda i, h: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nh, d, c), lambda i, h: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+    )
+    grad_out_shapes = (
+        jax.ShapeDtypeStruct((nh, 3, c, d), f32),
+        jax.ShapeDtypeStruct((nh, 3, d), f32),
+        jax.ShapeDtypeStruct((1, c), f32),
+        jax.ShapeDtypeStruct((1, c), f32),
+        jax.ShapeDtypeStruct((nh, d, c), f32),
+        jax.ShapeDtypeStruct((1, c), f32),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, nh=nh, scale=1.0 / math.sqrt(d),
+                          residual=residual, s_valid=s_valid, wg=wg,
+                          masked=masked),
+        grid=(nw // g, nh),
+        in_specs=[
+            pl.BlockSpec((g, s, c), lambda i, h: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, s, c), lambda i, h: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 3 * d), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3 * d), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, c), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, d), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(attn_mask.shape, lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(pad_logmult.shape, lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((g, s, c), lambda i, h: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ) + (grad_out_specs if wg else ()),
+        out_shape=(
+            jax.ShapeDtypeStruct((nw, s, c), x.dtype),
+        ) + (grad_out_shapes if wg else ()),
+        scratch_shapes=[
+            pltpu.VMEM((g, s, c), x.dtype),        # y (normed)
+            pltpu.VMEM((g, s, 1), f32),            # mu
+            pltpu.VMEM((g, s, 1), f32),            # rsqrt(var)
+            pltpu.VMEM((g, s, c), f32),            # dy accumulator
+        ],
+        interpret=interpret,
+    )(x, gy, w3.astype(x.dtype), b3.astype(f32), ln, wp3.astype(x.dtype),
+      b_qkv.reshape(3, nh, d)[1:].transpose(1, 0, 2).astype(f32),
+      attn_mask.astype(f32), pad_logmult.astype(f32))
+    if not wg:
+        dx = outs if not isinstance(outs, (tuple, list)) else outs[0]
+        if row_pad:
+            dx = dx[:, :s_valid]
+        return (dx, None, None, None, None, None, None)
+    dx, dw4, db3_, dls, dlb, dwp3, dbp = outs
+    if row_pad:
+        dx = dx[:, :s_valid]
+    dw = dw4.transpose(2, 1, 0, 3).reshape(c, 3 * c).astype(w_qkv.dtype)
+    db = db3_.transpose(1, 0, 2).reshape(3 * c).astype(b_qkv.dtype)
+    dwp = dwp3.reshape(c, c).astype(w_proj.dtype)
+    return (dx, dw, db, dls.reshape(c).astype(ln_scale.dtype),
+            dlb.reshape(c).astype(ln_bias.dtype), dwp,
+            dbp.reshape(c))
+
+
 def _fwd(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
-         num_heads, n_pad, residual):
+         attn_mask, pad_logmult, num_heads, n_pad, residual,
+         weight_grads=True, masked=False):
     out = _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias,
-                                  w_proj, b_proj, num_heads, n_pad, residual)
-    return out, (x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj)
+                                  w_proj, b_proj, attn_mask, pad_logmult,
+                                  num_heads, n_pad, residual,
+                                  weight_grads, masked)
+    return out, (x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
+                 attn_mask, pad_logmult)
 
 
-def _bwd(num_heads, n_pad, residual, res, g):
-    x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj = res
+def _bwd(num_heads, n_pad, residual, weight_grads, masked, res, g):
+    (x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
+     attn_mask, pad_logmult) = res
+    c = x.shape[-1]
+    s_pad = x.shape[1] + (-x.shape[1]) % 16
+    # The per-head weight-grad accumulators (dW + dWp, f32) plus one
+    # window's live values must fit VMEM. Measured bounds on v5e: stage-3
+    # 256-token windows fit; 496-token global blocks and stage 4's
+    # c=1152/16-head accumulators (21 MB alone) do not — those use the XLA
+    # recompute path instead. The dx-only (frozen-trunk) variant carries no
+    # grad accumulators, so it gets a bigger window budget.
+    grad_scratch = (16 * c * c) if weight_grads else 0
+    window_live = 12 * s_pad * s_pad + 14 * s_pad * c
+    live_budget = (4 if weight_grads else 8) * 1024 * 1024
+    # masked mode: the pad-key grads flow only to frozen bias slices, so the
+    # fused bwd supports it dx-only; a trainable masked block falls back
+    fused_ok = (masked and not weight_grads) or (not masked and n_pad == 0)
+    if (fused_ok and grad_scratch <= 8 * 1024 * 1024
+            and window_live <= live_budget
+            and jax.default_backend() == "tpu"):
+        dx, dw, db, dls, dlb, dwp, dbp = _fused_window_block_bwd_impl(
+            x, g, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
+            num_heads, residual, weight_grads,
+            attn_mask if masked else None, pad_logmult if masked else None,
+        )
+        mz = (jnp.zeros_like(attn_mask), jnp.zeros_like(pad_logmult))
+        if not weight_grads:
+            # frozen block (reference hard-freezes the trunk): callers pair
+            # this with stop_gradient on the weights, so zeros are exact
+            zeros = [jnp.zeros_like(t) for t in
+                     (w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj)]
+            return (dx, *zeros, *mz)
+        return (dx, dw, db, dls, dlb, dwp, dbp.astype(b_proj.dtype), *mz)
 
-    def ref(*args):
-        return _xla_window_block(*args, num_heads, n_pad, residual)
+    def ref(xx, ww, bb, ls, lb, wp, bp):
+        return _xla_window_block(xx, ww, bb, ls, lb, wp, bp,
+                                 num_heads, n_pad, residual,
+                                 attn_mask if masked else None,
+                                 pad_logmult if masked else None)
 
     _, vjp = jax.vjp(ref, x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj)
-    return vjp(g)
+    return (*vjp(g), jnp.zeros_like(attn_mask), jnp.zeros_like(pad_logmult))
 
 
 _fused_window_block_vjp.defvjp(_fwd, _bwd)

@@ -8,6 +8,8 @@ shapes are static so XLA folds these into the surrounding ops' layouts.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax.numpy as jnp
 
 
@@ -120,6 +122,32 @@ def window_merge_valid(
     if bot:
         rows.append(bot[0] if len(bot) == 1 else jnp.concatenate(bot, axis=2))
     return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=1)
+
+
+@_functools.lru_cache(maxsize=64)
+def grid_window_mask(h: int, w: int, window: int):
+    """Additive mask + pad-key log-multiplicity for whole-grid masked
+    window attention over a small (H*W <= ~512 tokens) grid.
+
+    Returns (mask (S, S) f32 with 0 within a window / -1e30 across, and
+    logmult (1, S) f32 = ln(n_pad of the query's window), -1e30 when the
+    window has no pads) as numpy arrays — the exact whole-grid encoding of
+    the reference's zero-padded window attention (utils.py:16-35): the
+    n_pad identical bias-valued pad tokens of each window collapse to one
+    synthetic key with that log-multiplicity."""
+    import numpy as _np
+
+    rows = _np.arange(h)[:, None].repeat(w, 1).reshape(-1)
+    cols = _np.arange(w)[None, :].repeat(h, 0).reshape(-1)
+    nw_cols = -(-w // window)
+    win_id = (rows // window) * nw_cols + (cols // window)
+    mask = _np.where(win_id[:, None] == win_id[None, :], 0.0, -1e30)
+    counts = _np.bincount(win_id, minlength=win_id.max() + 1)
+    n_pad = window * window - counts
+    logmult = _np.where(n_pad[win_id] > 0,
+                        _np.log(_np.maximum(n_pad[win_id], 1)), -1e30)
+    return (mask.astype(_np.float32),
+            logmult.astype(_np.float32).reshape(1, -1))
 
 
 def window_unpartition(

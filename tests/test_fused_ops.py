@@ -213,6 +213,91 @@ def test_fused_window_block_matches_padded_window_path():
     assert np.isfinite(np.asarray(gval)).all()
 
 
+def test_masked_whole_grid_block_matches_group_path():
+    """attn_mask/pad_logmult whole-grid mode == the valid-group path (both
+    encode the reference's zero-padded window attention)."""
+    from sam2unet_tpu.ops.pallas.fused_attention_block import (
+        fused_window_block,
+    )
+    from sam2unet_tpu.ops.windowing import (
+        grid_window_mask,
+        window_merge_valid,
+        window_partition_valid,
+    )
+
+    rng = np.random.default_rng(8)
+    b, h, w, dim, heads, window = 2, 11, 11, 16, 2, 8
+    x = jnp.asarray(rng.standard_normal((b, h, w, dim)) * 0.5, jnp.float32)
+    w_qkv = jnp.asarray(rng.standard_normal((dim, 3 * dim)) * 0.2, jnp.float32)
+    b_qkv = jnp.asarray(rng.standard_normal(3 * dim) * 0.5, jnp.float32)
+    lns = jnp.asarray(rng.standard_normal(dim) * 0.3 + 1, jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal(dim) * 0.2, jnp.float32)
+    w_proj = jnp.asarray(rng.standard_normal((dim, dim)) * 0.2, jnp.float32)
+    b_proj = jnp.asarray(rng.standard_normal(dim) * 0.2, jnp.float32)
+    args = (w_qkv, b_qkv, lns, lnb, w_proj, b_proj)
+
+    outs = []
+    for g, n_pad in window_partition_valid(x, window):
+        nw_, gh, gw, c = g.shape
+        o = fused_window_block(g.reshape(nw_, gh * gw, c), *args,
+                               num_heads=heads, n_pad=n_pad)
+        outs.append(o.reshape(nw_, gh, gw, c))
+    ref = window_merge_valid(outs, b, h, w, window)
+
+    mask_np, lm_np = grid_window_mask(h, w, window)
+    got = fused_window_block(
+        x.reshape(b, h * w, dim), *args, num_heads=heads,
+        attn_mask=jnp.asarray(mask_np), pad_logmult=jnp.asarray(lm_np),
+    ).reshape(b, h, w, dim)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_fused_block_backward_kernel_interpret():
+    """The fused backward kernel (interpret mode) == jax.vjp of the XLA
+    form, in both full-grads and frozen dx-only variants, incl. masked."""
+    from sam2unet_tpu.ops.pallas.fused_attention_block import (
+        _fused_window_block_bwd_impl,
+        _xla_window_block,
+    )
+    from sam2unet_tpu.ops.windowing import grid_window_mask
+
+    rng = np.random.default_rng(9)
+    nw, s, c, nh = 4, 16, 24, 2
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+    x, gy, w, b = mk(nw, s, c), mk(nw, s, c), mk(c, 3 * c), mk(3 * c)
+    lns, lnb, wp, bp = mk(c) + 1, mk(c), mk(c, c), mk(c)
+
+    # full weight grads
+    got = _fused_window_block_bwd_impl(x, gy, w, b, lns, lnb, wp, nh, True,
+                                       interpret=True)
+    _, vjp = jax.vjp(lambda *a: _xla_window_block(*a, nh, 0, True),
+                     x, w, b, lns, lnb, wp, bp)
+    want = vjp(gy)
+    for a, r in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=2e-4,
+                                   atol=2e-5)
+
+    # frozen: dx only
+    got_dx = _fused_window_block_bwd_impl(x, gy, w, b, lns, lnb, wp, nh,
+                                          True, weight_grads=False,
+                                          interpret=True)[0]
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want[0]),
+                               rtol=2e-4, atol=2e-5)
+
+    # masked whole-grid, dx only (4x4 grid, window 3 -> remainders)
+    mask_np, lm_np = grid_window_mask(4, 4, 3)
+    mask, lm = jnp.asarray(mask_np), jnp.asarray(lm_np)
+    got_m = _fused_window_block_bwd_impl(
+        x, gy, w, b, lns, lnb, wp, nh, True, weight_grads=False,
+        attn_mask=mask, pad_logmult=lm, interpret=True)[0]
+    _, vjpm = jax.vjp(
+        lambda xx: _xla_window_block(xx, w, b, lns, lnb, wp, bp, nh, 0,
+                                     True, mask, lm), x)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(vjpm(gy)[0]),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_partition_fill_equals_project_after_pad():
     """deferred-bias partition of a bias-free projection == the reference's
     partition-then-project ordering (pads carry exactly the bias)."""
