@@ -234,11 +234,15 @@ class MultiScaleBlock(nn.Module):
 
             ln = LNParams(self.dim_out, name="norm2")
             mp = MLPParams(self.dim_out, hidden, self.dim_out, name="mlp")
+            margs = (mp.layers_0.kernel, mp.layers_0.bias,
+                     mp.layers_1.kernel, mp.layers_1.bias,
+                     ln.scale, ln.bias)
+            if self.frozen:
+                margs = tuple(jax.lax.stop_gradient(t) for t in margs)
             return fused_mlp(
-                x.astype(self.dtype),
-                mp.layers_0.kernel, mp.layers_0.bias,
-                mp.layers_1.kernel, mp.layers_1.bias,
-                ln_scale=ln.scale, ln_bias=ln.bias, residual=True,
+                x.astype(self.dtype), *margs[:4],
+                ln_scale=margs[4], ln_bias=margs[5], residual=True,
+                weight_grads=not self.frozen,
             )
         y = layer_norm(self.dtype, name="norm2")(x)
         y = MLP(

@@ -10,6 +10,7 @@ Backward is a custom-VJP XLA recompute (same pattern as flash_attention).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -65,13 +66,21 @@ def _xla_mlp(x, w1, b1, w2, b2, ln_scale=None, ln_bias=None, residual=False):
 
 
 def fused_mlp(x: jnp.ndarray, w1, b1, w2, b2, ln_scale=None, ln_bias=None,
-              residual: bool = False) -> jnp.ndarray:
-    """[LN ->] x @ W1 -> gelu -> @ W2 [-> +x]. x: (..., D)."""
-    return _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual)
+              residual: bool = False,
+              weight_grads: bool = True) -> jnp.ndarray:
+    """[LN ->] x @ W1 -> gelu -> @ W2 [-> +x]. x: (..., D).
+
+    weight_grads=False declares the MLP frozen (the fork hard-freezes the
+    trunk): the backward runs a dx-only Pallas kernel — the 4x hidden
+    never touches HBM in either direction — and returns zero weight grads.
+    Pair with stop_gradient on the weights."""
+    return _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual,
+                          weight_grads)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual,
+                   weight_grads=True):
     if jax.default_backend() != "tpu":
         return _xla_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual)
     use_ln = ln_scale is not None
@@ -301,13 +310,121 @@ def _lm_bwd(add_bias, res, g):
 fused_ln_matmul.defvjp(_lm_fwd, _lm_bwd)
 
 
-def _fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, residual):
-    out = _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual)
+_SQRT_2_PI = math.sqrt(2.0 / math.pi)
+_GELU_C = 0.044715
+
+
+def _mlp_bwd_dx_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, ln_ref,
+                       dx_ref, *, use_ln: bool, residual: bool):
+    """dx for the frozen MLP tail: recompute LN/W1/tanh-gelu' in VMEM, run
+    the two transposed matmuls, LN-backprop — hidden never leaves VMEM."""
+    x = x_ref[:]                                   # (T, c)
+    gy = g_ref[:]
+    xf = x.astype(jnp.float32)
+    if use_ln:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        r = jax.lax.rsqrt(var + _LN_EPS)
+        xhat = (xf - mu) * r
+        z = (xhat * ln_ref[0].astype(jnp.float32)
+             + ln_ref[1].astype(jnp.float32)).astype(x.dtype)
+    else:
+        z = x
+    h = jax.lax.dot_general(                       # (T, hidden) fp32
+        z, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:].astype(jnp.float32)
+    u = _SQRT_2_PI * (h + _GELU_C * h * h * h)
+    th = jnp.tanh(u)
+    da = jax.lax.dot_general(                      # g @ W2^T: (T, hidden)
+        gy, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dgelu = (0.5 * (1.0 + th)
+             + 0.5 * h * (1.0 - th * th)
+             * _SQRT_2_PI * (1.0 + 3.0 * _GELU_C * h * h))
+    dh = (da * dgelu).astype(x.dtype)
+    dz = jax.lax.dot_general(                      # dh @ W1^T: (T, c)
+        dh, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if use_ln:
+        dxhat = dz * ln_ref[0].astype(jnp.float32)
+        mean1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mean2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = r * (dxhat - mean1 - xhat * mean2)
+    else:
+        dx = dz
+    if residual:
+        dx = dx + gy.astype(jnp.float32)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _mlp_bwd_dx(x, g, w1, b1, w2, ln_scale, ln_bias, residual,
+                interpret=False):
+    use_ln = ln_scale is not None
+    shape = x.shape
+    d = shape[-1]
+    hidden = w1.shape[1]
+    n = 1
+    for s in shape[:-1]:
+        n *= s
+    xf = x.reshape(n, d)
+    gf = g.reshape(n, d)
+    # smaller tile than forward: three (T, hidden) fp32 values live at once
+    tile = 128
+    pad = (-n) % tile
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+        gf = jnp.pad(gf, ((0, pad), (0, 0)))
+    np_ = xf.shape[0]
+    if use_ln:
+        ln = jnp.stack(
+            [jnp.asarray(ln_scale, x.dtype), jnp.asarray(ln_bias, x.dtype)]
+        )
+    else:
+        ln = jnp.zeros((2, d), x.dtype)
+    dx = pl.pallas_call(
+        functools.partial(_mlp_bwd_dx_kernel, use_ln=use_ln,
+                          residual=residual),
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, d), x.dtype),
+        interpret=interpret,
+    )(xf, gf, w1.astype(x.dtype), b1.reshape(1, -1).astype(x.dtype),
+      # W2 passed as stored (hidden, d): the kernel contracts over d
+      jnp.asarray(w2, x.dtype), ln)
+    if pad:
+        dx = dx[:n]
+    return dx.reshape(shape)
+
+
+def _fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, residual, weight_grads=True):
+    out = _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual,
+                         weight_grads)
     return out, (x, w1, b1, w2, b2, ln_scale, ln_bias)
 
 
-def _bwd(residual, res, g):
+def _bwd(residual, weight_grads, res, g):
     x, w1, b1, w2, b2, ln_scale, ln_bias = res
+    if not weight_grads and jax.default_backend() == "tpu":
+        dx = _mlp_bwd_dx(x, g, w1, b1, w2, ln_scale, ln_bias, residual)
+        zeros = [jnp.zeros_like(t) for t in (w1, b1, w2, b2)]
+        lz = (None if ln_scale is None else jnp.zeros_like(ln_scale),
+              None if ln_bias is None else jnp.zeros_like(ln_bias))
+        return (dx, *zeros, *lz)
 
     def ref(x, w1, b1, w2, b2, ln_scale, ln_bias):
         return _xla_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual)
