@@ -58,9 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0 = same as batch_size")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--fast_eval", action="store_true",
-                   help="device-side semantic-only eval (mIoU/mDice at model "
-                        "resolution; skips instance metrics) — the checkpoint "
-                        "gate uses mIoU only, so gating behavior is preserved")
+                   help="deprecated: device-side semantic eval is the default")
+    p.add_argument("--full_eval", action="store_true",
+                   help="reference-style host eval: per-image un-pad + resize "
+                        "to GT resolution, semantic AND instance metrics "
+                        "(train.py:89-123). Slower; the default device eval "
+                        "computes mIoU/mDice at model resolution — the "
+                        "checkpoint gate uses mIoU only either way")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a JAX profiler trace of steps 10-14 here")
     p.add_argument("--resume", type=str, default="",
@@ -143,7 +147,7 @@ def main(args) -> None:
 
         print("Evaluating", end="")
         eval_vars = state.variables()
-        if args.fast_eval:
+        if not args.full_eval:
             from sam2unet_tpu.eval.metrics_device import batched_semantic_metrics
             from sam2unet_tpu.train.engine import postprocess_logits
 

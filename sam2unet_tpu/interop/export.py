@@ -4,8 +4,10 @@ The reference ships ONNX export with numeric parity checks
 (convert_onnx.py:20-107). The TPU-native deployment artifact here is a
 serialized `jax.export` StableHLO function — portable across CPU/TPU,
 loadable without the framework — with the same output-name contract
-("output", "output_1", "output_2" = out, out1, out2). ONNX export is
-additionally supported when the optional onnx tooling is installed.
+("output", "output_1", "output_2" = out, out1, out2). ONNX export
+(export_onnx, jax2tf -> tf2onnx) is implemented but requires optional
+tooling (tensorflow + tf2onnx + onnx) that is absent from this image; on
+this image StableHLO is the only runnable export format.
 """
 
 from __future__ import annotations
@@ -70,16 +72,50 @@ def verify_export(model, variables: dict, size: int, path: str,
     return max_diff
 
 
-def export_onnx(model, variables: dict, size: int, path: str) -> None:
-    """Optional ONNX export via jax2tf -> tf2onnx; gated on availability
-    (the baked image has neither tensorflow nor onnx)."""
+def export_onnx(model, variables: dict, size: int, path: str,
+                opset: int = 17) -> None:
+    """ONNX export via jax2tf -> tf2onnx, matching the reference contract
+    (convert_onnx.py:25-34): input name "images", output names
+    ``OUTPUT_NAMES``, opset 17. Requires the optional tensorflow + tf2onnx
+    tooling; on images without it (like this one) raises ImportError and the
+    StableHLO artifact (export_stablehlo) is the deployment format."""
     try:
-        import tensorflow as tf  # noqa: F401
-        from jax.experimental import jax2tf  # noqa: F401
-        import tf2onnx  # noqa: F401
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+        import tf2onnx
     except ImportError as e:
         raise ImportError(
             "ONNX export requires tensorflow + tf2onnx; use the StableHLO "
             "artifact (export_stablehlo) on this image instead"
         ) from e
-    raise NotImplementedError  # pragma: no cover
+
+    def fwd(x):
+        out, out1, out2 = model.apply(variables, x, train=False)
+        return out, out1, out2
+
+    tf_fwd = tf.function(
+        jax2tf.convert(fwd, with_gradient=False),
+        autograph=False,
+        input_signature=[
+            tf.TensorSpec((1, size, size, 3), tf.float32, name="images")
+        ],
+    )
+    model_proto, _ = tf2onnx.convert.from_function(
+        tf_fwd,
+        input_signature=[
+            tf.TensorSpec((1, size, size, 3), tf.float32, name="images")
+        ],
+        opset=opset,
+        output_path=path,
+    )
+    # tf2onnx invents output names; rewrite them to the reference contract.
+    import onnx
+
+    m = onnx.load(path)
+    rename = {o.name: want for o, want in zip(m.graph.output, OUTPUT_NAMES)}
+    for o in m.graph.output:
+        o.name = rename[o.name]
+    for node in m.graph.node:
+        node.output[:] = [rename.get(n, n) for n in node.output]
+        node.input[:] = [rename.get(n, n) for n in node.input]
+    onnx.save(m, path)

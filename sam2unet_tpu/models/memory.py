@@ -173,7 +173,7 @@ class MemoryAttentionLayer(nn.Module):
         self.norm3 = nn.LayerNorm(dtype=dt)
 
     def __call__(self, tgt, memory, pos=None, query_pos=None,
-                 num_k_exclude_rope: int = 0):
+                 num_k_exclude_rope: int = 0, memory_valid=None):
         t2 = self.norm1(tgt)
         q = t2 + query_pos if (self.pos_enc_at_attn and query_pos is not None) else t2
         tgt = tgt + self.self_attn(q, q, t2)
@@ -190,7 +190,8 @@ class MemoryAttentionLayer(nn.Module):
             else memory
         )
         tgt = tgt + self.cross_attn_image(
-            qq, kk, memory, num_k_exclude_rope=num_k_exclude_rope
+            qq, kk, memory, num_k_exclude_rope=num_k_exclude_rope,
+            key_valid=memory_valid,
         )
 
         t2 = self.norm3(tgt)
@@ -224,7 +225,7 @@ class MemoryAttention(nn.Module):
         self.norm = nn.LayerNorm(dtype=self.dtype)
 
     def __call__(self, curr, memory, curr_pos=None, memory_pos=None,
-                 num_obj_ptr_tokens: int = 0):
+                 num_obj_ptr_tokens: int = 0, memory_valid=None):
         output = curr
         if self.pos_enc_at_input and curr_pos is not None:
             output = output + 0.1 * curr_pos
@@ -232,5 +233,6 @@ class MemoryAttention(nn.Module):
             output = layer(
                 output, memory, pos=memory_pos, query_pos=curr_pos,
                 num_k_exclude_rope=num_obj_ptr_tokens,
+                memory_valid=memory_valid,
             )
         return self.norm(output)

@@ -266,9 +266,12 @@ class SAM2Base(nn.Module):
         memory_pos: jnp.ndarray | None,  # (B, S_mem, mem_dim)
         num_obj_ptr_tokens: int = 0,
         is_init_cond_frame: bool = False,
+        memory_valid: jnp.ndarray | None = None,  # (B, S_mem) bool
     ) -> jnp.ndarray:
         """Device half of _prepare_memory_conditioned_features
-        (sam2_base.py:493-662); the host assembles `memory`/`memory_pos`."""
+        (sam2_base.py:493-662); the host assembles `memory`/`memory_pos`.
+        `memory_valid` marks real tokens when the bank is padded to a fixed
+        shape (one compiled program serves every frame from frame 2 on)."""
         c = self.cfg
         b, h, w, ch = current_feat.shape
         feats = current_feat.reshape(b, h * w, ch)
@@ -286,6 +289,7 @@ class SAM2Base(nn.Module):
                 self.no_mem_pos_enc, (b, 1, c.hidden_dim)
             ).astype(self.dtype)
             num_obj_ptr_tokens = 0
+            memory_valid = None
 
         out = self.memory_attention(
             curr=feats,
@@ -293,6 +297,7 @@ class SAM2Base(nn.Module):
             curr_pos=pos,
             memory_pos=memory_pos,
             num_obj_ptr_tokens=num_obj_ptr_tokens,
+            memory_valid=memory_valid,
         )
         return out.reshape(b, h, w, ch)
 

@@ -82,6 +82,7 @@ class RoPEAttention(nn.Module):
         k: jnp.ndarray,
         v: jnp.ndarray,
         num_k_exclude_rope: int = 0,
+        key_valid: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         b, nq, _ = q.shape
         nk = k.shape[1]
@@ -110,7 +111,7 @@ class RoPEAttention(nn.Module):
             [k_rot.transpose(0, 2, 1, 3), k[:, num_k_rope:]], axis=1
         ) if num_k_exclude_rope > 0 else k_rot.transpose(0, 2, 1, 3)
 
-        o = sdpa(q, k, v)
+        o = sdpa(q, k, v, key_valid=key_valid)
         return self.out_proj(o.reshape(b, nq, h * d))
 
 

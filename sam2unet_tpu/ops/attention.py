@@ -32,11 +32,14 @@ def sdpa(
     v: jnp.ndarray,
     impl: str = "auto",
     scale: float | None = None,
+    key_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Attention over (B, S, num_heads, head_dim) tensors.
 
     `scale` defaults to 1/sqrt(head_dim); pass it explicitly when the head
-    dim is zero-padded (the logical head width sets the temperature)."""
+    dim is zero-padded (the logical head width sets the temperature).
+    `key_valid` (B, S_k) bool drops padded keys from the softmax — used by
+    the fixed-shape (padded) memory-attention signatures."""
     if _FORCE_IMPL is not None:
         impl = _FORCE_IMPL
     if impl == "auto":
@@ -44,6 +47,8 @@ def sdpa(
         # both jax.nn.dot_product_attention and the fused Pallas kernel at
         # this model's 72-wide heads (docs/PERF.md "Measured and rejected")
         impl = "einsum"
+    if key_valid is not None:
+        impl = "einsum"  # only the einsum path carries the key mask
     if impl == "pallas":
         from sam2unet_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -51,5 +56,5 @@ def sdpa(
     if impl == "einsum":
         from sam2unet_tpu.ops.pallas.flash_attention import _xla_attention
 
-        return _xla_attention(q, k, v, scale=scale)
+        return _xla_attention(q, k, v, scale=scale, key_valid=key_valid)
     return jax.nn.dot_product_attention(q, k, v, scale=scale)

@@ -103,7 +103,7 @@ def _fused_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
-def _xla_attention(q, k, v, scale=None):
+def _xla_attention(q, k, v, scale=None, key_valid=None):
     """Manual-einsum attention tuned for HBM traffic.
 
     In reduced precision (bf16 inputs) the S x S intermediates are stored
@@ -125,6 +125,9 @@ def _xla_attention(q, k, v, scale=None):
     # (B, S, H, D) inputs, avoiding head transposes around the matmuls.
     s = jnp.einsum("bqhd,bkhd->bqhk", q, k,
                    preferred_element_type=jnp.float32) * scale
+    if key_valid is not None:
+        # drop padded keys (fixed-shape memory signatures): -inf logits
+        s = jnp.where(key_valid[:, None, None, :], s, -1e9)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bqhk,bkhd->bqhd", p.astype(v.dtype), v)
 

@@ -3,8 +3,12 @@
 API-compatible re-design of sam2/sam2_video_predictor.py:17-898. The host
 owns the state machine (per-object prompt dicts, cond/non-cond output
 banks, memory selection — all irregular Python); the device work runs
-through a handful of jitted programs over fixed-shape tensors, cached per
-(num_memory_tokens, num_prompt_points) signature:
+through a handful of jitted programs over fixed-shape tensors. The memory
+bank is PADDED to fixed slot counts (num_maskmem grids + max_obj_ptrs
+pointer tokens, invalid tokens masked out of the cross-attention softmax),
+so a single compiled program serves every propagated frame from frame 2 on
+— no per-frame recompile warm-up like a naive dynamic-shape port would
+have. Programs:
 
     frame features -> [memory attention over gathered bank] -> SAM heads
     -> memory encoder
@@ -75,8 +79,8 @@ class SAM2VideoPredictor:
             lambda v, x: m.apply(v, x, method=SAM2Base.forward_image)
         )
         self._jit_condition = jax.jit(
-            lambda v, f, p, mem, mem_pos, nptr: m.apply(
-                v, f, p, mem, mem_pos, nptr,
+            lambda v, f, p, mem, mem_pos, valid, nptr: m.apply(
+                v, f, p, mem, mem_pos, nptr, memory_valid=valid,
                 method=SAM2Base.condition_features_on_memory,
             ),
             static_argnames=("nptr",),
@@ -589,8 +593,12 @@ class SAM2VideoPredictor:
     def _gather_memory(self, state, output_dict, frame_idx, batch_size,
                        track_in_reverse):
         """Host half of _prepare_memory_conditioned_features
-        (sam2_base.py:504-662): select frames, assemble fixed-shape memory
-        token stacks."""
+        (sam2_base.py:504-662): select frames, assemble the memory token
+        stack PADDED to a fixed shape (mask-mem grids padded to num_maskmem
+        slots — or the next multiple of 4 with many cond frames — and
+        obj-ptr tokens padded to max_obj_ptrs_in_encoder), with a validity
+        mask. One jit signature then serves every frame from frame 2 on;
+        the reference has no warm-up cliff and now neither do we."""
         cfg = self.cfg
         params = self.variables["params"]
         cond_outputs = output_dict["cond_frame_outputs"]
@@ -614,21 +622,33 @@ class SAM2VideoPredictor:
                 out = unselected_cond.get(prev_frame_idx)
             t_pos_and_prevs.append((t_pos, out))
 
-        mems, mem_pos = [], []
+        grids, grid_pos = [], []
         tpos_enc = np.asarray(params["maskmem_tpos_enc"], np.float32)
         for t_pos, prev in t_pos_and_prevs:
             if prev is None:
                 continue
             feats = np.asarray(prev["maskmem_features"], np.float32)
             b, h, w, c = feats.shape
-            mems.append(feats.reshape(b, h * w, c))
+            grids.append(feats.reshape(b, h * w, c))
             enc = np.asarray(prev["maskmem_pos_enc"][-1], np.float32)
             enc = np.broadcast_to(enc.reshape(1, h * w, c), (b, h * w, c))
             enc = enc + tpos_enc[cfg.num_maskmem - t_pos - 1].reshape(1, 1, c)
-            mem_pos.append(enc)
+            grid_pos.append(enc)
+
+        # pad grid count to a fixed slot count (RoPE needs whole h*w grids)
+        n_g, hw, c = len(grids), grids[0].shape[1], grids[0].shape[2]
+        slots = (cfg.num_maskmem if n_g <= cfg.num_maskmem
+                 else -(-n_g // 4) * 4)
+        zero_grid = np.zeros((batch_size, hw, c), np.float32)
+        mems = grids + [zero_grid] * (slots - n_g)
+        mem_pos = grid_pos + [zero_grid] * (slots - n_g)
+        valid_parts = [np.ones(n_g * hw, bool), np.zeros((slots - n_g) * hw, bool)]
 
         num_obj_ptr_tokens = 0
         if cfg.use_obj_ptrs_in_encoder:
+            C, mem_dim = cfg.hidden_dim, cfg.mem_dim
+            split = C // mem_dim if mem_dim < C else 1
+            ptr_slots = cfg.max_obj_ptrs_in_encoder * split  # fixed
             max_ptrs = min(state["num_frames"], cfg.max_obj_ptrs_in_encoder)
             if cfg.only_obj_ptrs_in_the_past_for_eval:
                 ptr_cond = {
@@ -654,7 +674,6 @@ class SAM2VideoPredictor:
                 obj_ptrs = np.stack(
                     [np.asarray(p, np.float32) for p in ptr_list], axis=1
                 )  # (B, P, C)
-                C, mem_dim = cfg.hidden_dim, cfg.mem_dim
                 if cfg.add_tpos_enc_to_obj_ptrs:
                     t_diff_max = max_ptrs - 1
                     tdim = C if cfg.proj_tpos_enc_in_obj_ptrs else mem_dim
@@ -676,18 +695,28 @@ class SAM2VideoPredictor:
                         (batch_size, len(pos_list), mem_dim), np.float32
                     )
                 if mem_dim < C:
-                    split = C // mem_dim
                     obj_ptrs = obj_ptrs.reshape(
                         batch_size, -1, split, mem_dim
                     ).reshape(batch_size, -1, mem_dim)
                     obj_pos = np.repeat(obj_pos, split, axis=1)
-                mems.append(obj_ptrs)
-                mem_pos.append(obj_pos)
-                num_obj_ptr_tokens = obj_ptrs.shape[1]
+            else:
+                obj_ptrs = np.zeros((batch_size, 0, mem_dim), np.float32)
+                obj_pos = np.zeros((batch_size, 0, mem_dim), np.float32)
+            # pad the pointer block to its fixed slot count
+            p_tok = obj_ptrs.shape[1]
+            pad = np.zeros((batch_size, ptr_slots - p_tok, mem_dim), np.float32)
+            mems.append(np.concatenate([obj_ptrs, pad], axis=1))
+            mem_pos.append(np.concatenate([obj_pos, pad], axis=1))
+            valid_parts += [np.ones(p_tok, bool),
+                            np.zeros(ptr_slots - p_tok, bool)]
+            num_obj_ptr_tokens = ptr_slots
 
         memory = np.concatenate(mems, axis=1)
         memory_pos = np.concatenate(mem_pos, axis=1)
-        return memory, memory_pos, num_obj_ptr_tokens
+        valid = np.broadcast_to(
+            np.concatenate(valid_parts)[None], memory.shape[:2]
+        )
+        return memory, memory_pos, valid, num_obj_ptr_tokens
 
     def _run_single_frame_inference(
         self,
@@ -724,12 +753,13 @@ class SAM2VideoPredictor:
                     self.variables, top_feat, top_pos
                 )
             else:
-                memory, memory_pos, nptr = self._gather_memory(
+                memory, memory_pos, valid, nptr = self._gather_memory(
                     state, output_dict, frame_idx, batch_size, reverse
                 )
                 pix_feat = self._jit_condition(
                     self.variables, top_feat, top_pos,
-                    jnp.asarray(memory), jnp.asarray(memory_pos), nptr,
+                    jnp.asarray(memory), jnp.asarray(memory_pos),
+                    jnp.asarray(valid), nptr,
                 )
             mi = None
             if prev_sam_mask_logits is not None:

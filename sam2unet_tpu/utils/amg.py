@@ -7,9 +7,7 @@ with background).
 
 from __future__ import annotations
 
-import math
 from copy import deepcopy
-from itertools import product
 
 import numpy as np
 
@@ -92,20 +90,22 @@ def mask_to_rle(tensor: np.ndarray) -> list[dict]:
 
 
 def rle_to_mask(rle: dict) -> np.ndarray:
-    """(amg.py:141-153)."""
+    """Uncompressed RLE -> (H, W) bool mask, vectorized (contract of
+    amg.py:141-153). Runs alternate bg/fg starting with background; a
+    difference array marks fg run boundaries and one cumsum paints them."""
     h, w = rle["size"]
-    mask = np.empty(h * w, dtype=bool)
-    idx = 0
-    parity = False
-    for count in rle["counts"]:
-        mask[idx : idx + count] = parity
-        idx += count
-        parity = not parity
-    return mask.reshape(w, h).T
+    counts = np.asarray(rle["counts"], np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    delta = np.zeros(h * w + 1, np.int64)
+    np.add.at(delta, starts[1::2], 1)   # foreground runs open...
+    np.add.at(delta, ends[1::2], -1)    # ...and close
+    flat = np.cumsum(delta[:-1]) > 0
+    return flat.reshape(w, h).T         # runs are column-major
 
 
 def area_from_rle(rle: dict) -> int:
-    return sum(rle["counts"][1::2])
+    return int(np.sum(np.asarray(rle["counts"], np.int64)[1::2]))
 
 
 def calculate_stability_score(
@@ -122,42 +122,42 @@ def calculate_stability_score(
 
 
 def build_point_grid(n_per_side: int) -> np.ndarray:
-    offset = 1 / (2 * n_per_side)
-    points_one_side = np.linspace(offset, 1 - offset, n_per_side)
-    points_x = np.tile(points_one_side[None, :], (n_per_side, 1))
-    points_y = np.tile(points_one_side[:, None], (1, n_per_side))
-    return np.stack([points_x, points_y], axis=-1).reshape(-1, 2)
+    """(N^2, 2) cell-centered unit-square grid, x fastest (contract of
+    amg.py:181-187): point i*N+j sits at ((j+.5)/N, (i+.5)/N)."""
+    centers = (np.arange(n_per_side) + 0.5) / n_per_side
+    ys, xs = np.meshgrid(centers, centers, indexing="ij")
+    return np.stack([xs.ravel(), ys.ravel()], axis=1)
 
 
 def build_all_layer_point_grids(n_per_side, n_layers, scale_per_layer):
-    return [
-        build_point_grid(int(n_per_side / (scale_per_layer**i)))
-        for i in range(n_layers + 1)
-    ]
+    """One grid per crop layer, side length shrunk by scale each layer."""
+    sides = n_per_side // np.power(scale_per_layer, np.arange(n_layers + 1))
+    return [build_point_grid(int(s)) for s in sides]
 
 
 def generate_crop_boxes(im_size, n_layers, overlap_ratio):
-    """(amg.py:205-237): crop boxes XYWH->XYXY per layer + layer indices."""
-    crop_boxes, layer_idxs = [], []
+    """Overlapping crops pyramid (contract of amg.py:205-237): layer L has
+    2^L x 2^L crops in XYXY, ordered x-major; layer 0 is the whole image.
+    Crop sizes use integer ceil-division so every pixel is covered."""
     im_h, im_w = im_size
     short_side = min(im_h, im_w)
-    crop_boxes.append([0, 0, im_w, im_h])
-    layer_idxs.append(0)
-
-    def crop_len(orig_len, n_crops, overlap):
-        return int(math.ceil((overlap * (n_crops - 1) + orig_len) / n_crops))
-
-    for i_layer in range(n_layers):
-        n_crops_per_side = 2 ** (i_layer + 1)
-        overlap = int(overlap_ratio * short_side * (2 / n_crops_per_side))
-        crop_w = crop_len(im_w, n_crops_per_side, overlap)
-        crop_h = crop_len(im_h, n_crops_per_side, overlap)
-        crop_box_x0 = [int((crop_w - overlap) * i) for i in range(n_crops_per_side)]
-        crop_box_y0 = [int((crop_h - overlap) * i) for i in range(n_crops_per_side)]
-        for x0, y0 in product(crop_box_x0, crop_box_y0):
-            box = [x0, y0, min(x0 + crop_w, im_w), min(y0 + crop_h, im_h)]
-            crop_boxes.append(box)
-            layer_idxs.append(i_layer + 1)
+    crop_boxes = [[0, 0, im_w, im_h]]
+    layer_idxs = [0]
+    for layer in range(1, n_layers + 1):
+        per_side = 2**layer
+        overlap = int(overlap_ratio * short_side * 2 / per_side)
+        # smallest crop length whose per_side tiling (with overlap) covers
+        # the image: ceil((orig + overlap*(per_side-1)) / per_side)
+        crop_w = -(-(im_w + overlap * (per_side - 1)) // per_side)
+        crop_h = -(-(im_h + overlap * (per_side - 1)) // per_side)
+        x0s = (crop_w - overlap) * np.arange(per_side)
+        y0s = (crop_h - overlap) * np.arange(per_side)
+        for x0 in x0s:
+            for y0 in y0s:
+                crop_boxes.append([int(x0), int(y0),
+                                   int(min(x0 + crop_w, im_w)),
+                                   int(min(y0 + crop_h, im_h))])
+                layer_idxs.append(layer)
     return crop_boxes, layer_idxs
 
 

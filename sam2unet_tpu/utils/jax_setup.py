@@ -20,6 +20,14 @@ def setup_jax(cache_dir: str | None = None) -> None:
     if _DONE:
         return
     _DONE = True
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here
+    # (before backend init) so `JAX_PLATFORMS=cpu python bench.py ...` works.
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
     cache_dir = cache_dir or os.environ.get(
         "SAM2UNET_TPU_CACHE", os.path.expanduser("~/.cache/sam2unet_tpu_xla")
     )

@@ -41,6 +41,28 @@ def test_stablehlo_export_roundtrip(tiny_model, tmp_path):
     assert out["output"].shape == (1, 64, 64, 1)
 
 
+def test_onnx_export(tiny_model, tmp_path):
+    """Runs the full jax2tf->tf2onnx path where tooling exists; on images
+    without tensorflow/tf2onnx asserts the documented ImportError contract."""
+    from sam2unet_tpu.interop.export import OUTPUT_NAMES, export_onnx
+
+    model, variables = tiny_model
+    path = str(tmp_path / "model.onnx")
+    try:
+        import tensorflow  # noqa: F401
+        import tf2onnx  # noqa: F401
+        import onnx  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="StableHLO"):
+            export_onnx(model, variables, 64, path)
+        return
+
+    export_onnx(model, variables, 64, path)
+    m = onnx.load(path)
+    assert [o.name for o in m.graph.output] == list(OUTPUT_NAMES)
+    assert m.graph.input[0].name == "images"
+
+
 def test_deploy_segmenter(tiny_model, tmp_path):
     from sam2unet_tpu.deploy.segmenter import SamUnetSegmenter
     from sam2unet_tpu.interop.export import export_stablehlo

@@ -96,6 +96,41 @@ def test_video_predictor_propagation(tiny_sam2):
     assert np.isfinite(outputs[3]).all()
 
 
+def test_video_predictor_fixed_memory_signature(tiny_sam2):
+    """The padded memory bank gives ONE jit signature for every propagated
+    frame (no per-frame recompiles while the bank grows 1 -> num_maskmem
+    grids) — the steady-state fix for the remote-compile warm-up cliff."""
+    from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
+
+    model, variables = tiny_sam2
+    pred = SAM2VideoPredictor(model, variables)
+    seen = []
+    orig = pred._jit_condition
+
+    def spy(v, f, p, mem, mem_pos, valid, nptr):
+        seen.append((tuple(mem.shape), tuple(valid.shape), nptr))
+        return orig(v, f, p, mem, mem_pos, valid, nptr)
+
+    pred._jit_condition = spy
+    rng = np.random.default_rng(3)
+    frames = (rng.random((10, 40, 48, 3)) * 255).astype(np.uint8)
+    state = pred.init_state(images=frames)
+    pred.add_new_points(
+        state, frame_idx=0, obj_id=1,
+        points=np.array([[24.0, 20.0]]), labels=np.array([1]),
+    )
+    list(pred.propagate_in_video(state))
+
+    assert len(seen) == 9         # frames 1..9; frame 0 is the init cond
+    assert len(set(seen)) == 1    # one signature -> one compiled program
+    cfg = model.cfg
+    hw = (cfg.image_size // 16) ** 2
+    split = cfg.hidden_dim // cfg.mem_dim
+    expected_tokens = cfg.num_maskmem * hw + cfg.max_obj_ptrs_in_encoder * split
+    assert seen[0][0][1] == expected_tokens
+    assert seen[0][2] == cfg.max_obj_ptrs_in_encoder * split
+
+
 def test_video_predictor_mask_input_and_multi_object(tiny_sam2):
     from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
 

@@ -109,6 +109,48 @@ def test_train_step_updates_only_trainable(tiny_setup):
     assert losses[-1] < losses[0]
 
 
+def test_dp_step_matches_single_device(tiny_setup):
+    """The mesh-sharded train step is numerically the single-device step:
+    GSPMD partitions one program, so loss, params and BN stats must agree
+    to float tolerance after two steps. SGD (not Adam) keeps the update
+    linear in the gradient — Adam's normalization would amplify the psum
+    reorder noise on near-zero BN-bias gradients into sign flips."""
+    import optax
+
+    from sam2unet_tpu.parallel.mesh import shard_batch
+
+    model, variables = tiny_setup
+    opt = optax.sgd(1e-2)
+    mesh = make_mesh()
+    step_one = make_train_step(model, opt, donate=False)
+    step_dp = make_train_step(model, opt, mesh=mesh, donate=False)
+
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.standard_normal((8, 64, 64, 3)), jnp.float32)
+    labels = jnp.asarray((rng.random((8, 64, 64, 1)) > 0.5), jnp.float32)
+
+    sa = create_train_state(variables, opt)
+    sb = create_train_state(variables, opt)
+    for _ in range(2):
+        sa, ma = step_one(sa, images, labels)
+        sb, mb = step_dp(sb, shard_batch(mesh, images), shard_batch(mesh, labels))
+    np.testing.assert_allclose(
+        float(ma["loss"]), float(mb["loss"]), rtol=1e-5, atol=1e-6
+    )
+    for k in sa.trainable:
+        np.testing.assert_allclose(
+            np.asarray(sa.trainable[k]), np.asarray(sb.trainable[k]),
+            rtol=1e-4, atol=1e-5, err_msg=str(k),
+        )
+    if sa.batch_stats is not None:
+        flat_a = jax.tree_util.tree_leaves(sa.batch_stats)
+        flat_b = jax.tree_util.tree_leaves(sb.batch_stats)
+        for va, vb in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5
+            )
+
+
 def test_eval_step_sharded(tiny_setup):
     model, variables = tiny_setup
     mesh = make_mesh()
