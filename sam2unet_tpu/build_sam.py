@@ -7,6 +7,8 @@ strict (raises on missing/unexpected keys, build_sam.py:79-89 semantics).
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -22,12 +24,40 @@ def build_sam2(
     sam2_config: SAM2Config | None = None,
     trunk_cfg: HieraConfig | None = None,
     dtype=None,
+    hydra_overrides_extra=(),
+    apply_postprocessing: bool = True,
 ) -> tuple[SAM2Base, dict]:
-    """Returns (model, variables). config_name resolves the trunk from the
-    registry; sam2_config overrides head/memory settings."""
+    """Returns (model, variables).
+
+    config_name is a registry name (`sam2_hiera_s`) or a path to a
+    reference-shaped YAML config; `hydra_overrides_extra` takes the
+    reference's `++key.path=value` strings (build_sam.py:15-44) and
+    `apply_postprocessing` adds the same dynamic-multimask stability
+    overrides the reference adds (build_sam.py:25-31). An explicit
+    `sam2_config`/`trunk_cfg` dataclass wins over both — the canonical
+    jit-static config path."""
+    import os
+
+    from sam2unet_tpu.configs import hydra_compat
+
     setup_jax()
-    trunk = trunk_cfg or hiera_config(config_name)
-    cfg = sam2_config or SAM2Config()
+    overrides = list(hydra_overrides_extra)
+    if apply_postprocessing:
+        overrides += [
+            "++model.sam_mask_decoder_extra_args.dynamic_multimask_via_stability=true",
+            "++model.sam_mask_decoder_extra_args.dynamic_multimask_stability_delta=0.05",
+            "++model.sam_mask_decoder_extra_args.dynamic_multimask_stability_thresh=0.98",
+        ]
+    if config_name.endswith((".yaml", ".yml")) and os.path.exists(config_name):
+        tree = hydra_compat.compose(config_name, overrides)
+    else:
+        tree = hydra_compat.merge_overrides({}, overrides)
+        tree.setdefault("model", {}).setdefault("image_encoder", {})[
+            "trunk"
+        ] = dataclasses.asdict(hiera_config(config_name))
+    yaml_trunk, yaml_cfg = hydra_compat.configs_from_tree(tree)
+    trunk = trunk_cfg or yaml_trunk
+    cfg = sam2_config or yaml_cfg
     model = SAM2Base(trunk_cfg=trunk, cfg=cfg,
                      dtype=dtype or jnp.float32)
 

@@ -62,6 +62,11 @@ class SAM2Config:
     soft_no_obj_ptr: bool = False
     use_mlp_for_obj_ptr_proj: bool = True
     add_all_frames_to_correct_as_cond: bool = False
+    # `sam_mask_decoder_extra_args` in the reference; the predictor builders
+    # turn the stability fallback on (build_sam.py:25-31 apply_postprocessing)
+    dynamic_multimask_via_stability: bool = False
+    dynamic_multimask_stability_delta: float = 0.05
+    dynamic_multimask_stability_thresh: float = 0.98
 
 
 class SAM2Base(nn.Module):
@@ -99,6 +104,9 @@ class SAM2Base(nn.Module):
             pred_obj_scores=c.pred_obj_scores,
             pred_obj_scores_mlp=c.pred_obj_scores_mlp,
             use_multimask_token_for_obj_ptr=c.use_multimask_token_for_obj_ptr,
+            dynamic_multimask_via_stability=c.dynamic_multimask_via_stability,
+            dynamic_multimask_stability_delta=c.dynamic_multimask_stability_delta,
+            dynamic_multimask_stability_thresh=c.dynamic_multimask_stability_thresh,
             dtype=dt,
         )
         init = nn.initializers.normal(0.02)

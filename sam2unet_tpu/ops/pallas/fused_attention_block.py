@@ -308,7 +308,7 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
                 mask_ref, lm_ref,
                 *refs,
                 nh: int, scale: float, residual: bool, s_valid: int,
-                wg: bool, masked: bool):
+                wg: bool, masked: bool, n_pad: int = 0):
     if wg:
         (dx_ref, dw_ref, db_ref, dls_ref, dlb_ref, dwp_ref, dbp_ref,
          y_buf, mu_buf, r_buf, dy_acc) = refs
@@ -370,13 +370,18 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale
-    if masked:
-        sc = sc + mask_ref[:][None]
+    pad_key = masked or n_pad > 0
+    if not masked and s_valid < s:
+        col = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 2)
+        sc = jnp.where(col < s_valid, sc, -1e30)
+    if pad_key:
+        if masked:
+            sc = sc + mask_ref[:][None]
         kvp = kvp_ref[:].astype(jnp.float32)       # (1, 2, d)
         k_pad = kvp[:, 0:1, :]
         v_pad = kvp[:, 1:2, :]
         sp = jnp.sum(q.astype(jnp.float32) * k_pad, axis=-1) * scale
-        sp = sp + lm_ref[:]                        # (G, S)
+        sp = sp + (lm_ref[:] if masked else math.log(n_pad))  # (G, S)
         m = jnp.maximum(jnp.max(sc, axis=-1), sp)[..., None]
         e = jnp.exp(sc - m)
         ep = jnp.exp(sp - m[..., 0])
@@ -384,9 +389,6 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
         p = e / den[..., None]                     # (G, S, S) fp32
         pp = ep / den                              # (G, S) pad-key prob
     else:
-        if s_valid < s:
-            col = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 2)
-            sc = jnp.where(col < s_valid, sc, -1e30)
         m = jnp.max(sc, axis=-1, keepdims=True)
         e = jnp.exp(sc - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -406,7 +408,7 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
         pb, do, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    if masked:
+    if pad_key:
         # augmented-softmax backward: the synthetic pad key participates in
         # the normalizer; its value/key are frozen bias slices (no grads)
         dpp = jnp.sum(do.astype(jnp.float32) * v_pad, axis=-1)   # (G, S)
@@ -420,7 +422,7 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
         ds, k, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    if masked:
+    if pad_key:
         dq = dq + ds_pad[..., None] * k_pad
     dk = jax.lax.dot_general(                      # ds^T q: (G, S_k, d)
         ds, q, (((1,), (1,)), ((0,), (0,))),
@@ -504,10 +506,13 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
 def _fused_window_block_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
                                  w_proj, num_heads, residual,
                                  weight_grads=True, attn_mask=None,
-                                 pad_logmult=None, interpret=False):
-    """Returns (dx, dw_qkv, db_qkv, dln_scale, dln_bias, dw_proj, db_proj)
-    for the n_pad == 0 fused window block; with weight_grads=False only dx
-    is computed (frozen-trunk training) and the rest are None."""
+                                 pad_logmult=None, n_pad=0, interpret=False):
+    """Returns (dx, dw_qkv, db_qkv, dln_scale, dln_bias, dw_proj, db_proj).
+    With weight_grads=False only dx is computed (frozen-trunk training, the
+    fork's semantics) and the rest are None — this dx-only form also covers
+    the synthetic-pad-key groups (n_pad > 0) and masked mode, whose pad
+    key/value are frozen bias slices. weight_grads=True requires
+    n_pad == 0 and unmasked."""
     nw, s, c = x.shape
     nh = num_heads
     d = c // nh
@@ -558,7 +563,7 @@ def _fused_window_block_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, nh=nh, scale=1.0 / math.sqrt(d),
                           residual=residual, s_valid=s_valid, wg=wg,
-                          masked=masked),
+                          masked=masked, n_pad=n_pad),
         grid=(nw // g, nh),
         in_specs=[
             pl.BlockSpec((g, s, c), lambda i, h: (i, 0, 0),
@@ -638,8 +643,12 @@ def _bwd(num_heads, n_pad, residual, weight_grads, masked, res, g):
     grad_scratch = (16 * c * c) if weight_grads else 0
     window_live = 12 * s_pad * s_pad + 14 * s_pad * c
     live_budget = (4 if weight_grads else 8) * 1024 * 1024
-    # masked mode: the pad-key grads flow only to frozen bias slices, so the
-    # fused bwd supports it dx-only; a trainable masked block falls back
+    # pad-key modes (masked / n_pad>0): the pad key/value are frozen bias
+    # slices, so the fused bwd supports them dx-only (interpret-tested).
+    # Measured end-to-end the fused n_pad>0 dx-only bwd is NOT faster than
+    # the XLA recompute (103.7 vs 104.9 img/s same-session — the recompute's
+    # slice DMAs are fully overlapped), so dispatch keeps the XLA path for
+    # n_pad>0; masked mode still requires the fused form (docs/PERF.md).
     fused_ok = (masked and not weight_grads) or (not masked and n_pad == 0)
     if (fused_ok and grad_scratch <= 8 * 1024 * 1024
             and window_live <= live_budget
@@ -648,6 +657,7 @@ def _bwd(num_heads, n_pad, residual, weight_grads, masked, res, g):
             x, g, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
             num_heads, residual, weight_grads,
             attn_mask if masked else None, pad_logmult if masked else None,
+            n_pad=0 if masked else n_pad,
         )
         mz = (jnp.zeros_like(attn_mask), jnp.zeros_like(pad_logmult))
         if not weight_grads:

@@ -280,7 +280,8 @@ class SAM2VideoPredictor:
 
         obj_ids = state["obj_ids"]
         consolidated = self._consolidate_temp_output_across_obj(
-            state, frame_idx, is_cond=is_cond, run_mem_encoder=False
+            state, frame_idx, is_cond=is_cond, run_mem_encoder=False,
+            consolidate_at_video_res=True,
         )
         _, video_res_masks = self._get_orig_video_res_output(
             state, consolidated["pred_masks_video_res"]
@@ -333,7 +334,8 @@ class SAM2VideoPredictor:
         obj_temp[storage_key][frame_idx] = current_out
 
         consolidated = self._consolidate_temp_output_across_obj(
-            state, frame_idx, is_cond=is_cond, run_mem_encoder=False
+            state, frame_idx, is_cond=is_cond, run_mem_encoder=False,
+            consolidate_at_video_res=True,
         )
         _, video_res_masks = self._get_orig_video_res_output(
             state, consolidated["pred_masks_video_res"]
@@ -367,11 +369,20 @@ class SAM2VideoPredictor:
         into a cross-object consolidated output on this frame."""
         batch_size = len(state["obj_idx_to_id"])
         storage_key = "cond_frame_outputs" if is_cond else "non_cond_frame_outputs"
-        s = self.cfg.image_size // 4
+        if consolidate_at_video_res:
+            # interactive return path (sam2_video_predictor.py:377-404):
+            # merge each object's latest mask at ORIGINAL video resolution so
+            # objects updated at different times/clicks compose crisply
+            assert not run_mem_encoder, "video-res consolidation is UI-only"
+            mh, mw = state["video_height"], state["video_width"]
+            mask_key = "pred_masks_video_res"
+        else:
+            mh = mw = self.cfg.image_size // 4
+            mask_key = "pred_masks"
         consolidated = {
             "maskmem_features": None,
             "maskmem_pos_enc": None,
-            "pred_masks": np.full((batch_size, 1, s, s), NO_OBJ_SCORE, np.float32),
+            mask_key: np.full((batch_size, 1, mh, mw), NO_OBJ_SCORE, np.float32),
             "obj_ptr": np.full(
                 (batch_size, self.cfg.hidden_dim), NO_OBJ_SCORE, np.float32
             ),
@@ -389,10 +400,18 @@ class SAM2VideoPredictor:
                 ].get(frame_idx)
             if out is None:
                 continue
-            consolidated["pred_masks"][obj_idx : obj_idx + 1] = out["pred_masks"]
+            masks = out["pred_masks"]
+            if masks.shape[-2:] != (mh, mw):
+                from sam2unet_tpu.ops.resize_np import resize_np
+
+                masks = resize_np(
+                    np.asarray(masks, np.float32), (mh, mw), "bilinear"
+                )
+            consolidated[mask_key][obj_idx : obj_idx + 1] = masks
             consolidated["obj_ptr"][obj_idx : obj_idx + 1] = out["obj_ptr"]
 
-        consolidated["pred_masks_video_res"] = consolidated["pred_masks"]
+        if not consolidate_at_video_res:
+            consolidated["pred_masks_video_res"] = consolidated["pred_masks"]
 
         if run_mem_encoder:
             from sam2unet_tpu.ops.resize_np import resize_np

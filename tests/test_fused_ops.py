@@ -285,6 +285,16 @@ def test_fused_block_backward_kernel_interpret():
     np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want[0]),
                                rtol=2e-4, atol=2e-5)
 
+    # synthetic pad key (n_pad > 0 remainder group), dx only
+    got_p = _fused_window_block_bwd_impl(
+        x, gy, w, b, lns, lnb, wp, nh, True, weight_grads=False,
+        n_pad=5, interpret=True)[0]
+    _, vjpp = jax.vjp(
+        lambda xx: _xla_window_block(xx, w, b, lns, lnb, wp, bp, nh, 5,
+                                     True), x)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(vjpp(gy)[0]),
+                               rtol=2e-4, atol=2e-5)
+
     # masked whole-grid, dx only (4x4 grid, window 3 -> remainders)
     mask_np, lm_np = grid_window_mask(4, 4, 3)
     mask, lm = jnp.asarray(mask_np), jnp.asarray(lm_np)
