@@ -44,8 +44,22 @@ def _list_pairs(image_root: str, gt_root: str) -> tuple[list[str], list[str]]:
     return images, gts
 
 
+def _native_loader():
+    """csrc/dataload.cc bridge, or None (unbuilt / disabled via env)."""
+    if os.environ.get("SAM2UNET_NO_NATIVE_LOADER"):
+        return None
+    from sam2unet_tpu.data import native_loader
+
+    return native_loader if native_loader.available() else None
+
+
 def load_rgb(path: str) -> np.ndarray:
     """(3, H, W) float32 in [0,1]."""
+    nl = _native_loader()
+    if nl is not None and path.endswith(".jpg"):
+        rgb = nl.decode_jpeg(path)  # same libjpeg pixels as PIL
+        if rgb is not None:
+            return rgb.astype(np.float32).transpose(2, 0, 1) / 255.0
     with open(path, "rb") as f:
         img = Image.open(f).convert("RGB")
     return np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
@@ -125,11 +139,19 @@ class EvalDataset:
 
     def item(self, i: int):
         """(image (1,S,S,3) normalized NHWC, gt (H,W) float, name, padding)."""
-        img = load_rgb(self.images[i])
+        path = self.images[i]
+        name = os.path.basename(path)
+        gt = np.asarray(Image.open(self.gts[i]).convert("L"), np.float32)
+        nl = _native_loader()
+        if nl is not None and path.endswith(".jpg"):
+            rgb = nl.decode_jpeg(path)
+            if rgb is not None:
+                # fused native decode+letterbox+normalize (identical taps)
+                hwc, padding = nl.letterbox_norm(rgb, self.size)
+                return hwc[None], gt, name, padding
+        img = load_rgb(path)
         padded, padding = letterbox(img, self.size)
         padded = normalize(padded, IMAGENET_MEAN, IMAGENET_STD)
-        gt = np.asarray(Image.open(self.gts[i]).convert("L"), np.float32)
-        name = os.path.basename(self.images[i])
         return padded.transpose(1, 2, 0)[None], gt, name, padding
 
     def load_data(self):

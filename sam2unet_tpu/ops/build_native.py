@@ -1,8 +1,11 @@
-"""Build the native host ops (csrc/ -> csrc/build/libccl.so).
+"""Build the native host ops (csrc/ -> csrc/build/lib*.so).
 
 Usage: python -m sam2unet_tpu.ops.build_native
-The framework works without this (scipy fallback); the native path is the
-fast route for the eval hot loop and predictor postprocessing.
+Targets: libccl.so (connected components) and libdataload.so (JPEG decode +
+fused letterbox/normalize; needs libjpeg, skipped with a notice if absent).
+The framework works without either (scipy/PIL fallbacks); the native paths
+are the fast route for the eval hot loop, predictor postprocessing, and the
+data pipeline on multi-chip machines.
 """
 
 from __future__ import annotations
@@ -12,16 +15,10 @@ import subprocess
 import sys
 
 
-def build(verbose: bool = True) -> str:
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    csrc = os.path.join(root, "csrc")
-    out_dir = os.path.join(csrc, "build")
-    os.makedirs(out_dir, exist_ok=True)
-    out = os.path.join(out_dir, "libccl.so")
-    src = os.path.join(csrc, "ccl.cc")
+def _compile(src: str, out: str, extra: list[str], verbose: bool) -> str:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-std=c++17", src, "-o", out,
+        "-std=c++17", src, "-o", out, *extra,
     ]
     if verbose:
         print("+", " ".join(cmd))
@@ -29,7 +26,28 @@ def build(verbose: bool = True) -> str:
     return out
 
 
+def build(verbose: bool = True) -> list[str]:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    csrc = os.path.join(root, "csrc")
+    out_dir = os.path.join(csrc, "build")
+    os.makedirs(out_dir, exist_ok=True)
+    built = [
+        _compile(os.path.join(csrc, "ccl.cc"),
+                 os.path.join(out_dir, "libccl.so"), [], verbose)
+    ]
+    try:
+        built.append(
+            _compile(os.path.join(csrc, "dataload.cc"),
+                     os.path.join(out_dir, "libdataload.so"), ["-ljpeg"],
+                     verbose)
+        )
+    except subprocess.CalledProcessError:
+        print("libdataload.so skipped (libjpeg not available); "
+              "the PIL data path remains in use")
+    return built
+
+
 if __name__ == "__main__":
-    path = build()
-    print("built", path)
+    for path in build():
+        print("built", path)
     sys.exit(0)

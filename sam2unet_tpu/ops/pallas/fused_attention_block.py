@@ -226,14 +226,22 @@ def _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
                             b_proj, attn_mask, pad_logmult,
                             num_heads, n_pad, residual,
                             weight_grads=True, masked=False):
-    if jax.default_backend() != "tpu":
+    nw, s, c = x.shape
+    nh = num_heads
+    d = c // nh
+    # One window's live values (fp32 scores + activations copies) must fit
+    # scoped VMEM even at group size 1 — the 4096-token global-attention
+    # blocks of SAM2@1024 (hieradet.py global_att_blocks) exceed it by 5x
+    # and take the XLA path (caught by scripts/bench_sam2.py, this gate
+    # mirrors the backward's)
+    s_pad16 = s + (-s) % 16
+    window_live = 8 * s_pad16 * s_pad16 + 14 * s_pad16 * c
+    if (jax.default_backend() != "tpu"
+            or window_live > 12 * 1024 * 1024):
         return _xla_window_block(
             x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
             num_heads, n_pad, residual,
             attn_mask if masked else None, pad_logmult if masked else None)
-    nw, s, c = x.shape
-    nh = num_heads
-    d = c // nh
     # Row-pad S to the bf16 sublane quantum: splitting (G*S) back into
     # (G, S) inside the kernel is only a supported relayout for aligned S
     # (S=9 crashes Mosaic). Pad rows are masked out of the keys and their

@@ -18,6 +18,16 @@ from sam2unet_tpu.models.sam2_base import SAM2Base
 from sam2unet_tpu.predictors.transforms import SAM2Transforms
 
 
+def _unpack_masks(full, hw) -> np.ndarray:
+    """Device-postprocessed masks back to numpy: bit-packed uint8 rows
+    (binarize path) are unpacked to bool at the original width; float
+    logits pass through."""
+    masks = np.asarray(full)
+    if masks.dtype == np.uint8:
+        masks = np.unpackbits(masks, axis=-1)[..., : hw[1]].astype(np.bool_)
+    return masks
+
+
 class SAM2ImagePredictor:
     def __init__(
         self,
@@ -44,7 +54,8 @@ class SAM2ImagePredictor:
             lambda v, x: model.apply(v, x, method=SAM2Base.forward_image)
         )
         self._decode = jax.jit(
-            partial(self._decode_fn), static_argnames=("multimask_output",)
+            partial(self._decode_fn),
+            static_argnames=("multimask_output", "orig_hw", "binarize"),
         )
 
     # ------------------------------------------------------------ features
@@ -94,9 +105,10 @@ class SAM2ImagePredictor:
             point_coords, point_labels, box, normalize_coords, img_idx=0
         )
         masks, ious, low_res = self._run(
-            0, coords, labels, mask_input, multimask_output
+            0, coords, labels, mask_input, multimask_output,
+            binarize=not return_logits,
         )
-        if not return_logits:
+        if not return_logits and masks.dtype != np.bool_:
             masks = masks > self.mask_threshold
         return masks[0], ious[0], low_res[0]
 
@@ -119,8 +131,9 @@ class SAM2ImagePredictor:
             bx = box_batch[i] if box_batch is not None else None
             mi = mask_input_batch[i] if mask_input_batch is not None else None
             coords, labels = self._prep_prompts(pc, pl, bx, normalize_coords, i)
-            masks, ious, low = self._run(i, coords, labels, mi, multimask_output)
-            if not return_logits:
+            masks, ious, low = self._run(i, coords, labels, mi, multimask_output,
+                                         binarize=not return_logits)
+            if not return_logits and masks.dtype != np.bool_:
                 masks = masks > self.mask_threshold
             all_masks.append(masks[0])
             all_ious.append(ious[0])
@@ -165,7 +178,14 @@ class SAM2ImagePredictor:
         return coords.astype(np.float32), labels.astype(np.int32)
 
     def _decode_fn(self, variables, image_embed, high0, high1, coords, labels,
-                   mask_input, multimask_output):
+                   mask_input, multimask_output, orig_hw=None, binarize=False):
+        """Prompt -> mask program. With orig_hw the whole serving postprocess
+        (clip, upscale to the original resolution, optional threshold) runs
+        on device inside the same jit — the readback is then the final mask
+        (1 byte/px when binarize) instead of fp32 logits resized on host
+        (sam2/utils/transforms.py:74-99 does this work in torch on device;
+        the earlier host-numpy port dominated serving latency, docs/PERF.md)."""
+
         def run(m):
             sparse, dense = m.sam_prompt_encoder(coords, labels, None, mask_input)
             low_res, ious, _, _ = m.sam_mask_decoder(
@@ -176,11 +196,29 @@ class SAM2ImagePredictor:
                 multimask_output=multimask_output,
                 high_res_features=(high0, high1),
             )
-            return low_res, ious
+            low_res = jnp.clip(low_res.astype(jnp.float32), -32.0, 32.0)
+            if orig_hw is None:
+                return low_res, ious, low_res
+            full = jax.image.resize(
+                low_res, (*low_res.shape[:2], *orig_hw), "bilinear"
+            )
+            if binarize:
+                # bit-pack along width: the host<->device link is the
+                # serving bottleneck (measured 29 vs 57 ms/call packed vs
+                # bool at 720x960x3, docs/PERF.md); np.unpackbits undoes it
+                m = full > self.mask_threshold
+                wpad = (-orig_hw[1]) % 8
+                if wpad:
+                    m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, wpad)))
+                u = m.reshape(*m.shape[:-1], -1, 8).astype(jnp.uint8)
+                bits = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+                full = jnp.sum(u * bits, axis=-1, dtype=jnp.uint8)
+            return full, ious, low_res
 
         return self.model.apply(variables, method=run)
 
-    def _run(self, img_idx, coords, labels, mask_input, multimask_output):
+    def _run(self, img_idx, coords, labels, mask_input, multimask_output,
+             binarize=False):
         image_embed = self._features["image_embed"][img_idx : img_idx + 1]
         high0 = self._features["high_res_feats"][0][img_idx : img_idx + 1]
         high1 = self._features["high_res_feats"][1][img_idx : img_idx + 1]
@@ -190,15 +228,24 @@ class SAM2ImagePredictor:
             if mi.ndim == 3:
                 mi = mi[None]
             mi = jnp.asarray(mi.transpose(0, 2, 3, 1))
-        low_res, ious = self._decode(
+        # hole/sprinkle filling needs the host CCL op; otherwise the full
+        # postprocess stays on device and only the final mask is read back
+        device_post = (self._transforms.max_hole_area == 0
+                       and self._transforms.max_sprinkle_area == 0)
+        full, ious, low_res = self._decode(
             self.variables, image_embed, high0, high1,
             jnp.asarray(coords), jnp.asarray(labels), mi,
             multimask_output=multimask_output,
+            orig_hw=tuple(self._orig_hw[img_idx]) if device_post else None,
+            binarize=binarize and device_post,
         )
-        low_res = np.clip(np.asarray(low_res, np.float32), -32.0, 32.0)
-        masks = self._transforms.postprocess_masks(
-            low_res, self._orig_hw[img_idx]
-        )
+        low_res = np.asarray(low_res, np.float32)
+        if device_post:
+            masks = _unpack_masks(full, self._orig_hw[img_idx])
+        else:
+            masks = self._transforms.postprocess_masks(
+                low_res, self._orig_hw[img_idx]
+            )
         return masks[None] if masks.ndim == 3 else masks, np.asarray(ious), low_res
 
     def _predict(
@@ -250,14 +297,26 @@ class SAM2ImagePredictor:
             if mi.ndim == 3:
                 mi = mi[:, None]
             mi = jnp.asarray(mi.transpose(0, 2, 3, 1))
-        low_res, ious = self._decode(
+        hw = self._orig_hw[img_idx]
+        # device postprocess needs the host CCL for hole filling, and a large
+        # prompt batch (AMG) would materialize b*3*H*W fp32 on device — keep
+        # those on the host path
+        device_post = (self._transforms.max_hole_area == 0
+                       and self._transforms.max_sprinkle_area == 0
+                       and b * 3 * hw[0] * hw[1] <= 2**26)
+        full, ious, low_res = self._decode(
             self.variables, image_embed, high0, high1,
             jnp.asarray(coords), jnp.asarray(labels), mi,
             multimask_output=multimask_output,
+            orig_hw=tuple(hw) if device_post else None,
+            binarize=(not return_logits) and device_post,
         )
-        low_res = np.clip(np.asarray(low_res, np.float32), -32.0, 32.0)
-        masks = self._transforms.postprocess_masks(low_res, self._orig_hw[img_idx])
-        if not return_logits:
+        low_res = np.asarray(low_res, np.float32)
+        if device_post:
+            masks = _unpack_masks(full, hw)
+        else:
+            masks = self._transforms.postprocess_masks(low_res, hw)
+        if not return_logits and masks.dtype != np.bool_:
             masks = masks > self.mask_threshold
         return masks, np.asarray(ious), low_res
 

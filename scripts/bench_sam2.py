@@ -43,15 +43,23 @@ def main():
     embed_s = time.perf_counter() - t0
 
     pt = np.array([[args.hw[1] / 2, args.hw[0] / 2]])
-    pred.predict(point_coords=pt, point_labels=np.array([1]))  # compile
-    t0 = time.perf_counter()
-    for i in range(args.n):
-        pred.predict(point_coords=pt + i, point_labels=np.array([1]))
-    per_predict = (time.perf_counter() - t0) / args.n
+
+    def steady_state():
+        pred.predict(point_coords=pt, point_labels=np.array([1]))  # compile
+        t0 = time.perf_counter()
+        for i in range(args.n):
+            pred.predict(point_coords=pt + i, point_labels=np.array([1]))
+        return (time.perf_counter() - t0) / args.n
+
+    per_predict = steady_state()  # device-side postprocess (default)
+    pred._transforms.max_hole_area = -1.0  # forces the host-postprocess path
+    per_host = steady_state()
+    pred._transforms.max_hole_area = 0.0
 
     print(f"{args.config}: set_image {embed_s * 1e3:.0f} ms, "
           f"predict {per_predict * 1e3:.1f} ms "
-          f"({1.0 / per_predict:.1f} prompts/s steady state)")
+          f"({1.0 / per_predict:.1f} prompts/s steady state); "
+          f"host-postprocess path {per_host * 1e3:.1f} ms")
 
 
 if __name__ == "__main__":
