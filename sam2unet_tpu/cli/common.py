@@ -11,12 +11,14 @@ from sam2unet_tpu.utils.jax_setup import setup_jax
 
 
 def build_model(
-    model_cfg: str = "sam2_hiera_s", dtype=None, remat: bool = False
+    model_cfg: str = "sam2_hiera_s", dtype=None, remat: bool = False,
+    bn_axis: str | None = None,
 ) -> tuple[SAM2UNet, SAM2UNetConfig]:
     import jax.numpy as jnp
 
     cfg = SAM2UNetConfig(trunk=hiera_config(model_cfg))
-    model = SAM2UNet(cfg, remat=remat, dtype=dtype or jnp.float32)
+    model = SAM2UNet(cfg, remat=remat, bn_axis=bn_axis,
+                     dtype=dtype or jnp.float32)
     return model, cfg
 
 

@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(train.py:89-123). Slower; the default device eval "
                         "computes mIoU/mDice at model resolution — the "
                         "checkpoint gate uses mIoU only either way")
+    p.add_argument("--shard_map", action="store_true",
+                   help="compile the dp step as a shard_map over 'data' "
+                        "(per-device local programs + SyncBN; required for "
+                        "the Pallas kernels on real multi-chip TPU)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a JAX profiler trace of steps 10-14 here")
     p.add_argument("--resume", type=str, default="",
@@ -83,7 +87,13 @@ def main(args) -> None:
     test_data = EvalDataset(args.test_image_path, args.test_gt_path, args.size)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model, _ = build_model(args.model_cfg, dtype=dtype, remat=args.remat)
+    bn_axis = None
+    if args.shard_map:
+        from sam2unet_tpu.parallel.mesh import DATA_AXIS
+
+        bn_axis = DATA_AXIS
+    model, _ = build_model(args.model_cfg, dtype=dtype, remat=args.remat,
+                           bn_axis=bn_axis)
     variables = init_variables(model, args.size, batch=args.batch_size)
     variables = load_weights(variables, args.hiera_path, args.checkpoint)
 
@@ -103,8 +113,9 @@ def main(args) -> None:
         print(f"Resumed full train state from {args.resume} "
               f"(step {int(state.step)})")
     state = replicate(mesh, state)
-    train_step = make_train_step(model, optimizer, mesh=mesh)
-    eval_step = make_eval_step(model, mesh=mesh)
+    train_step = make_train_step(model, optimizer, mesh=mesh,
+                                 use_shard_map=args.shard_map)
+    eval_step = make_eval_step(model, mesh=mesh, use_shard_map=args.shard_map)
 
     eval_bs = args.eval_batch_size or args.batch_size
     os.makedirs(args.save_path, exist_ok=True)

@@ -31,6 +31,7 @@ class RFBModified(nn.Module):
     """
 
     out_channels: int
+    bn_axis: str | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -39,7 +40,7 @@ class RFBModified(nn.Module):
 
         def conv(name, kernel, padding=(0, 0), dilation=1):
             return ConvBN(oc, kernel, padding=padding, dilation=dilation,
-                          dtype=dt, name=name)
+                          bn_axis=self.bn_axis, dtype=dt, name=name)
 
         b0 = conv("branch0_layers_0", (1, 1))(x, train)
 
@@ -71,6 +72,7 @@ class DoubleConv(nn.Module):
 
     mid_channels: int
     out_channels: int
+    bn_axis: str | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -78,12 +80,14 @@ class DoubleConv(nn.Module):
         x = nn.Conv(self.mid_channels, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, name="layers_0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="layers_1")(x)
+                         epsilon=1e-5, axis_name=self.bn_axis,
+                         dtype=self.dtype, name="layers_1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, name="layers_3")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="layers_4")(x)
+                         epsilon=1e-5, axis_name=self.bn_axis,
+                         dtype=self.dtype, name="layers_4")(x)
         return nn.relu(x)
 
 
@@ -93,6 +97,7 @@ class Up(nn.Module):
 
     in_channels: int
     out_channels: int
+    bn_axis: str | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -123,7 +128,8 @@ class Up(nn.Module):
             ]
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(self.in_channels // 2, self.out_channels,
-                          dtype=self.dtype, name="conv")(x, train)
+                          bn_axis=self.bn_axis, dtype=self.dtype,
+                          name="conv")(x, train)
 
 
 class SAM2UNet(nn.Module):
@@ -133,6 +139,9 @@ class SAM2UNet(nn.Module):
     cfg: SAM2UNetConfig = SAM2UNetConfig()
     include_unused_up4: bool = True
     remat: bool = False  # jax.checkpoint per trunk block (bigger batches)
+    # SyncBN axis name for shard_map dp (engine.make_train_step
+    # use_shard_map=True); None under plain jit/GSPMD
+    bn_axis: str | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -142,24 +151,25 @@ class SAM2UNet(nn.Module):
                       remat=self.remat, dtype=self.dtype, name="encoder")(x, train)
         x1, x2, x3, x4 = feats  # strides 4, 8, 16, 32
 
-        x1 = RFBModified(c.rfb_out, self.dtype, name="rfb1")(x1, train)
-        x2 = RFBModified(c.rfb_out, self.dtype, name="rfb2")(x2, train)
-        x3 = RFBModified(c.rfb_out, self.dtype, name="rfb3")(x3, train)
-        x4 = RFBModified(c.rfb_out, self.dtype, name="rfb4")(x4, train)
+        ba = self.bn_axis
+        x1 = RFBModified(c.rfb_out, ba, self.dtype, name="rfb1")(x1, train)
+        x2 = RFBModified(c.rfb_out, ba, self.dtype, name="rfb2")(x2, train)
+        x3 = RFBModified(c.rfb_out, ba, self.dtype, name="rfb3")(x3, train)
+        x4 = RFBModified(c.rfb_out, ba, self.dtype, name="rfb4")(x4, train)
 
-        d = Up(2 * c.rfb_out, c.rfb_out, self.dtype, name="up1")(x4, x3, train)
+        d = Up(2 * c.rfb_out, c.rfb_out, ba, self.dtype, name="up1")(x4, x3, train)
         s1 = nn.Conv(1, (1, 1), dtype=self.dtype, name="side1")(d)
         out1 = resize(s1, (16 * s1.shape[1], 16 * s1.shape[2]), "bilinear")
 
-        d = Up(2 * c.rfb_out, c.rfb_out, self.dtype, name="up2")(d, x2, train)
+        d = Up(2 * c.rfb_out, c.rfb_out, ba, self.dtype, name="up2")(d, x2, train)
         s2 = nn.Conv(1, (1, 1), dtype=self.dtype, name="side2")(d)
         out2 = resize(s2, (8 * s2.shape[1], 8 * s2.shape[2]), "bilinear")
 
-        d = Up(2 * c.rfb_out, c.rfb_out, self.dtype, name="up3")(d, x1, train)
+        d = Up(2 * c.rfb_out, c.rfb_out, ba, self.dtype, name="up3")(d, x1, train)
         if self.include_unused_up4 and self.is_initializing():
             # parity-only params: reference constructs up4 but never calls it,
             # so we materialize its params at init and skip it at apply time
-            Up(2 * c.rfb_out, c.rfb_out, self.dtype, name="up4")(d, d, False)
+            Up(2 * c.rfb_out, c.rfb_out, ba, self.dtype, name="up4")(d, d, False)
         h = nn.Conv(1, (1, 1), dtype=self.dtype, name="head")(d)
         out = resize(h, (4 * h.shape[1], 4 * h.shape[2]), "bilinear")
 

@@ -36,6 +36,9 @@ class ConvBN(nn.Module):
     stride: int = 1
     padding: tuple[int, int] = (0, 0)
     dilation: int = 1
+    # cross-replica SyncBN axis for shard_map data parallelism (under plain
+    # jit/GSPMD leave None: XLA's global batch reduction is automatic)
+    bn_axis: str | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -57,6 +60,7 @@ class ConvBN(nn.Module):
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
+            axis_name=self.bn_axis,
             dtype=self.dtype,
             name="bn",
         )(x)

@@ -76,12 +76,21 @@ def make_train_step(
     mesh: Mesh | None = None,
     donate: bool = True,
     jit: bool = True,
+    use_shard_map: bool = False,
 ) -> Callable:
     """Returns jitted (state, images, labels) -> (state, metrics).
 
     images: (B, H, W, 3) normalized; labels: (B, H, W, 1) in {0, 1}.
     With a mesh, the batch is sharded over 'data' and state replicated.
-    jit=False returns the raw step (for embedding in a lax.scan)."""
+    jit=False returns the raw step (for embedding in a lax.scan).
+
+    use_shard_map=True compiles the step as a shard_map over the 'data'
+    axis: each device runs the FULL per-shard program locally (required on
+    real multi-chip TPU — Mosaic/Pallas custom calls cannot be partitioned
+    by GSPMD) with explicit pmean'd grads/loss. The model must be built
+    with bn_axis=DATA_AXIS so BatchNorm reduces batch moments across
+    shards (SyncBN) and the step stays numerically identical to the GSPMD
+    form (asserted by tests/test_shard_map_dp.py)."""
 
     def loss_fn(trainable, frozen, batch_stats, images, labels):
         variables = {"params": merge_params(trainable, frozen)}
@@ -116,6 +125,39 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    if use_shard_map:
+        from jax import shard_map
+
+        def local_step(state: TrainState, images, labels):
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.trainable, state.frozen, state.batch_stats, images, labels)
+            # equal-sized shards: pmean of per-shard means == global mean
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            # BN stats were already cross-shard reduced inside the model
+            # (bn_axis SyncBN), so every device holds identical new_stats
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.trainable
+            )
+            trainable = optax.apply_updates(state.trainable, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                trainable=trainable,
+                batch_stats=new_stats,
+                opt_state=opt_state,
+            )
+            return new_state, {"loss": loss}
+
+        return jax.jit(
+            shard_map(
+                local_step, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ),
+            donate_argnums=(0,) if donate else (),
+        )
     if mesh.shape.get("model", 1) > 1:
         # tensor parallelism: params/moments placed by the sharding policy;
         # jit infers in-shardings from the placed state and XLA inserts the
@@ -134,14 +176,30 @@ def make_train_step(
     )
 
 
-def make_eval_step(model, mesh: Mesh | None = None) -> Callable:
-    """Jitted inference: (variables, images) -> (out, out1, out2) logits."""
+def make_eval_step(
+    model, mesh: Mesh | None = None, use_shard_map: bool = False
+) -> Callable:
+    """Jitted inference: (variables, images) -> (out, out1, out2) logits.
+    use_shard_map: per-device local programs (Pallas-safe on real
+    multi-chip TPU); eval-mode BN uses running averages, so no bn_axis
+    is needed here."""
 
     def fwd(variables, images):
         return model.apply(variables, images, train=False)
 
     if mesh is None:
         return jax.jit(fwd)
+    if use_shard_map:
+        from jax import shard_map
+
+        return jax.jit(
+            shard_map(
+                fwd, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )
+        )
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(fwd, in_shardings=(repl, data), out_shardings=data)
