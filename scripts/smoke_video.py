@@ -75,11 +75,15 @@ def main():
     print(f"mask prompt ok, areas {[int((mm[0] > 0).sum()) for mm in masks]}")
 
     t0 = time.time()
-    areas = []
+    areas, times = [], []
     for fidx, ids, masks in pred.propagate_in_video(state):
         assert masks.shape[-2:] == (h, w)
         areas.append([fidx] + [int((mm[0] > 0).sum()) for mm in masks])
-    print(f"forward {time.time() - t0:.1f}s areas {areas}")
+        times.append(time.time() - t0)
+        t0 = time.time()
+    per_frame = " ".join(f"{t:.2f}" for t in times)
+    print(f"forward per-frame s: {per_frame}")
+    print(f"areas {areas}")
     assert len(areas) == args.frames
 
     t0 = time.time()
