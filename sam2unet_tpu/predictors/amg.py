@@ -169,27 +169,37 @@ class SAM2AutomaticMaskGenerator:
             points, normalize=True, orig_hw=im_size
         )
         in_labels = np.ones(len(in_points), np.int32)
-        masks, iou_preds, low_res = self.predictor._predict(
-            in_points[:, None, :], in_labels[:, None],
-            multimask_output=self.multimask_output, return_logits=True,
-        )
-        m = masks.shape[1]
-        data = MaskData(
-            masks=masks.reshape(-1, *masks.shape[2:]),
-            iou_preds=iou_preds.reshape(-1),
-            points=np.repeat(np.asarray(points), m, axis=0),
-            low_res_masks=low_res.reshape(-1, *low_res.shape[2:]),
-        )
-
         if not self.use_m2m:
+            # device fast path: stability + threshold + bit-pack happen in
+            # the decode jit; only packed bits + scores are read back
+            masks, iou_preds, _, stability = self.predictor._predict_amg(
+                in_points[:, None, :], in_labels[:, None],
+                multimask_output=self.multimask_output,
+                stability_offset=self.stability_score_offset,
+            )
+            m = masks.shape[1]
+            data = MaskData(
+                masks=masks.reshape(-1, *masks.shape[2:]),
+                iou_preds=iou_preds.reshape(-1),
+                points=np.repeat(np.asarray(points), m, axis=0),
+                stability_score=stability.reshape(-1),
+            )
             if self.pred_iou_thresh > 0.0:
                 data.filter(data["iou_preds"] > self.pred_iou_thresh)
-            data["stability_score"] = calculate_stability_score(
-                data["masks"], self.mask_threshold, self.stability_score_offset
-            )
             if self.stability_score_thresh > 0.0:
                 data.filter(data["stability_score"] >= self.stability_score_thresh)
         else:
+            masks, iou_preds, low_res = self.predictor._predict(
+                in_points[:, None, :], in_labels[:, None],
+                multimask_output=self.multimask_output, return_logits=True,
+            )
+            m = masks.shape[1]
+            data = MaskData(
+                masks=masks.reshape(-1, *masks.shape[2:]),
+                iou_preds=iou_preds.reshape(-1),
+                points=np.repeat(np.asarray(points), m, axis=0),
+                low_res_masks=low_res.reshape(-1, *low_res.shape[2:]),
+            )
             in_points = self.predictor._transforms.transform_coords(
                 data["points"], normalize=True, orig_hw=im_size
             )
@@ -207,7 +217,8 @@ class SAM2AutomaticMaskGenerator:
             if self.stability_score_thresh > 0.0:
                 data.filter(data["stability_score"] >= self.stability_score_thresh)
 
-        data["masks"] = data["masks"] > self.mask_threshold
+        if data["masks"].dtype != np.bool_:
+            data["masks"] = data["masks"] > self.mask_threshold
         data["boxes"] = batched_mask_to_box(data["masks"])
         keep = ~is_box_near_crop_edge(data["boxes"], crop_box,
                                       [0, 0, orig_w, orig_h])

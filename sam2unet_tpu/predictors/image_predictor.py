@@ -55,7 +55,8 @@ class SAM2ImagePredictor:
         )
         self._decode = jax.jit(
             partial(self._decode_fn),
-            static_argnames=("multimask_output", "orig_hw", "binarize"),
+            static_argnames=("multimask_output", "orig_hw", "binarize",
+                             "amg_stats", "stability_offset", "with_low_res"),
         )
 
     # ------------------------------------------------------------ features
@@ -178,7 +179,8 @@ class SAM2ImagePredictor:
         return coords.astype(np.float32), labels.astype(np.int32)
 
     def _decode_fn(self, variables, image_embed, high0, high1, coords, labels,
-                   mask_input, multimask_output, orig_hw=None, binarize=False):
+                   mask_input, multimask_output, orig_hw=None, binarize=False,
+                   amg_stats=False, stability_offset=1.0, with_low_res=True):
         """Prompt -> mask program. With orig_hw the whole serving postprocess
         (clip, upscale to the original resolution, optional threshold) runs
         on device inside the same jit — the readback is then the final mask
@@ -202,17 +204,36 @@ class SAM2ImagePredictor:
             full = jax.image.resize(
                 low_res, (*low_res.shape[:2], *orig_hw), "bilinear"
             )
-            if binarize:
+
+            def pack(m):
                 # bit-pack along width: the host<->device link is the
                 # serving bottleneck (measured 29 vs 57 ms/call packed vs
                 # bool at 720x960x3, docs/PERF.md); np.unpackbits undoes it
-                m = full > self.mask_threshold
                 wpad = (-orig_hw[1]) % 8
                 if wpad:
                     m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, wpad)))
                 u = m.reshape(*m.shape[:-1], -1, 8).astype(jnp.uint8)
                 bits = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-                full = jnp.sum(u * bits, axis=-1, dtype=jnp.uint8)
+                return jnp.sum(u * bits, axis=-1, dtype=jnp.uint8)
+
+            if amg_stats:
+                # device-side AMG batch postprocess: stability score + the
+                # binarized packed masks; the fp32 full-res logits (236 MB
+                # per 64-point batch at 480x640) never cross the link
+                # (automatic_mask_generator.py:270-298 does this on host)
+                thr = self.mask_threshold
+                hi = jnp.sum(full > (thr + stability_offset), axis=(-1, -2))
+                lo = jnp.sum(full > (thr - stability_offset), axis=(-1, -2))
+                stability = jnp.where(
+                    lo > 0,
+                    hi.astype(jnp.float32) / jnp.maximum(lo, 1),
+                    1.0,
+                )
+                packed = pack(full > thr)
+                lr = low_res if with_low_res else low_res[:, :, :1, :1]
+                return packed, ious, lr, stability
+            if binarize:
+                full = pack(full > self.mask_threshold)
             return full, ious, low_res
 
         return self.model.apply(variables, method=run)
@@ -319,6 +340,74 @@ class SAM2ImagePredictor:
         if not return_logits and masks.dtype != np.bool_:
             masks = masks > self.mask_threshold
         return masks, np.asarray(ious), low_res
+
+    def _predict_amg(
+        self,
+        point_coords: np.ndarray,
+        point_labels: np.ndarray,
+        multimask_output: bool = True,
+        stability_offset: float = 1.0,
+        need_low_res: bool = False,
+        img_idx: int = 0,
+    ):
+        """AMG fast path: the whole per-batch postprocess (clip, upscale,
+        stability score, threshold, bit-pack) runs in the decode jit, so
+        only packed bits + scores cross the host link instead of the fp32
+        full-res logits. Returns numpy (B, M, H, W) bool masks, (B, M)
+        ious, (B, M, h, w) low_res or None, (B, M) stability scores.
+        Falls back to `_predict` + host stability when hole filling is
+        requested or the batch would not fit device memory."""
+        b = point_coords.shape[0]
+        hw = self._orig_hw[img_idx]
+        n_out = 3 if multimask_output else 1
+        if (self._transforms.max_hole_area != 0
+                or self._transforms.max_sprinkle_area != 0
+                or b * n_out * hw[0] * hw[1] > 2**28):
+            from sam2unet_tpu.utils.amg import calculate_stability_score
+
+            masks, ious, low_res = self._predict(
+                point_coords, point_labels,
+                multimask_output=multimask_output, return_logits=True,
+                img_idx=img_idx,
+            )
+            stability = calculate_stability_score(
+                masks, self.mask_threshold, stability_offset
+            )
+            return (masks > self.mask_threshold, ious,
+                    low_res if need_low_res else None, stability)
+
+        coords = np.concatenate(
+            [point_coords, np.zeros((b, 1, 2), np.float32)], axis=1
+        )
+        labels = np.concatenate(
+            [point_labels, -np.ones((b, 1), np.int32)], axis=1
+        )
+        image_embed = jnp.repeat(
+            self._features["image_embed"][img_idx : img_idx + 1], b, axis=0
+        )
+        high0 = jnp.repeat(
+            self._features["high_res_feats"][0][img_idx : img_idx + 1], b, axis=0
+        )
+        high1 = jnp.repeat(
+            self._features["high_res_feats"][1][img_idx : img_idx + 1], b, axis=0
+        )
+        packed, ious, low_res, stability = self._decode(
+            self.variables, image_embed, high0, high1,
+            jnp.asarray(coords.astype(np.float32)),
+            jnp.asarray(labels.astype(np.int32)), None,
+            multimask_output=multimask_output,
+            orig_hw=tuple(hw),
+            amg_stats=True,
+            stability_offset=float(stability_offset),
+            with_low_res=need_low_res,
+        )
+        masks = _unpack_masks(packed, hw)
+        return (
+            masks,
+            np.asarray(ious),
+            np.asarray(low_res, np.float32) if need_low_res else None,
+            np.asarray(stability, np.float32),
+        )
 
     def get_image_embedding(self):
         if self._features is None:

@@ -76,6 +76,10 @@ def batch_iterator(batch_size: int, *args):
 def mask_to_rle(tensor: np.ndarray) -> list[dict]:
     """(B, H, W) binary -> uncompressed RLE dicts (amg.py:109-138)."""
     b, h, w = tensor.shape
+    if b == 0:
+        # every candidate of a point batch can be filtered out (iou /
+        # stability thresholds) — numpy cannot infer -1 on 0 elements
+        return []
     flat = tensor.transpose(0, 2, 1).reshape(b, -1)  # column-major (F order)
     out = []
     for i in range(b):

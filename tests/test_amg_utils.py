@@ -26,6 +26,12 @@ def test_rle_roundtrip_and_area():
         assert area_from_rle(rle) == int(masks[i].sum())
 
 
+def test_mask_to_rle_empty_batch():
+    # a point batch can have every candidate filtered out (found by the
+    # TPU AMG smoke: reshape(0, -1) raises in numpy)
+    assert mask_to_rle(np.zeros((0, 13, 17), bool)) == []
+
+
 def test_batched_mask_to_box():
     m = np.zeros((2, 20, 30), bool)
     m[0, 3:9, 5:12] = True  # box (5, 3, 11, 8)
