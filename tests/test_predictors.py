@@ -154,6 +154,35 @@ def test_video_predictor_mask_input_and_multi_object(tiny_sam2):
     assert masks.shape == (2, 1, 40, 48)
 
 
+def test_predict_amg_matches_host_path(tiny_sam2):
+    """The device AMG fast path (_predict_amg: stability + threshold +
+    bit-pack in the decode jit) must reproduce the host path exactly."""
+    from sam2unet_tpu.predictors.image_predictor import SAM2ImagePredictor
+    from sam2unet_tpu.utils.amg import calculate_stability_score
+
+    model, variables = tiny_sam2
+    pred = SAM2ImagePredictor(model, variables)
+    rng = np.random.default_rng(5)
+    image = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    pred.set_image(image)
+    pts = np.array([[[10.0, 12.0]], [[30.0, 20.0]], [[44.0, 36.0]]],
+                   np.float32)
+    labels = np.ones((3, 1), np.int32)
+
+    masks_d, ious_d, _, stab_d = pred._predict_amg(
+        pts, labels, multimask_output=True, stability_offset=1.0
+    )
+    logits, ious_h, _ = pred._predict(
+        pts, labels, multimask_output=True, return_logits=True
+    )
+    stab_h = calculate_stability_score(logits, pred.mask_threshold, 1.0)
+
+    assert masks_d.dtype == np.bool_
+    np.testing.assert_array_equal(masks_d, logits > pred.mask_threshold)
+    np.testing.assert_allclose(ious_d, ious_h, rtol=1e-6)
+    np.testing.assert_allclose(stab_d, stab_h, rtol=1e-5)
+
+
 def test_amg_generates_records(tiny_sam2):
     from sam2unet_tpu.predictors.amg import SAM2AutomaticMaskGenerator
 
