@@ -31,7 +31,14 @@ def export_stablehlo(
         return {"output": out, "output_1": out1, "output_2": out2}
 
     x_spec = jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32)
-    exported = jexport.export(jax.jit(fwd), platforms=list(platforms))(x_spec)
+    # multi-platform artifact: bake in the portable XLA graph — Mosaic
+    # custom calls can't lower for the CPU platform (ops/pallas/dispatch.py)
+    from sam2unet_tpu.ops.pallas import dispatch
+
+    with dispatch.force_xla():
+        exported = jexport.export(
+            jax.jit(fwd), platforms=list(platforms)
+        )(x_spec)
     data = exported.serialize()
     with open(path, "wb") as f:
         f.write(data)
@@ -60,7 +67,9 @@ def verify_export(model, variables: dict, size: int, path: str,
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal((1, size, size, 3)).astype(np.float32)
-    native = model.apply(variables, x, train=False)
+    native = jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False)
+    )(variables, x)
     runner = load_exported(path)
     exported = runner(x)
     max_diff = 0.0
@@ -89,25 +98,28 @@ def export_onnx(model, variables: dict, size: int, path: str,
             "artifact (export_stablehlo) on this image instead"
         ) from e
 
+    from sam2unet_tpu.ops.pallas import dispatch
+
     def fwd(x):
         out, out1, out2 = model.apply(variables, x, train=False)
         return out, out1, out2
 
-    tf_fwd = tf.function(
-        jax2tf.convert(fwd, with_gradient=False),
-        autograph=False,
-        input_signature=[
-            tf.TensorSpec((1, size, size, 3), tf.float32, name="images")
-        ],
-    )
-    model_proto, _ = tf2onnx.convert.from_function(
-        tf_fwd,
-        input_signature=[
-            tf.TensorSpec((1, size, size, 3), tf.float32, name="images")
-        ],
-        opset=opset,
-        output_path=path,
-    )
+    with dispatch.force_xla():  # portable graph, no Mosaic custom calls
+        tf_fwd = tf.function(
+            jax2tf.convert(fwd, with_gradient=False),
+            autograph=False,
+            input_signature=[
+                tf.TensorSpec((1, size, size, 3), tf.float32, name="images")
+            ],
+        )
+        model_proto, _ = tf2onnx.convert.from_function(
+            tf_fwd,
+            input_signature=[
+                tf.TensorSpec((1, size, size, 3), tf.float32, name="images")
+            ],
+            opset=opset,
+            output_path=path,
+        )
     # tf2onnx invents output names; rewrite them to the reference contract.
     import onnx
 

@@ -28,6 +28,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from sam2unet_tpu.ops.pallas import dispatch
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -171,7 +173,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float | None = None) -> jnp.ndarray:
     """Fused attention over (B, S, H, D); numerics match
     torch.nn.functional.scaled_dot_product_attention."""
-    if k.shape[1] > _MAX_FULL_SEQ or jax.default_backend() != "tpu":
+    if k.shape[1] > _MAX_FULL_SEQ or dispatch.xla_only():
         return _xla_attention(q, k, v, scale=scale)
     return _fused_full(q, k, v, scale=scale)
 

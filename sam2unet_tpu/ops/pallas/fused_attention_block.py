@@ -38,6 +38,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from sam2unet_tpu.ops.pallas import dispatch
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -236,8 +238,7 @@ def _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
     # mirrors the backward's)
     s_pad16 = s + (-s) % 16
     window_live = 8 * s_pad16 * s_pad16 + 14 * s_pad16 * c
-    if (jax.default_backend() != "tpu"
-            or window_live > 12 * 1024 * 1024):
+    if dispatch.xla_only() or window_live > 12 * 1024 * 1024:
         return _xla_window_block(
             x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
             num_heads, n_pad, residual,
@@ -660,7 +661,7 @@ def _bwd(num_heads, n_pad, residual, weight_grads, masked, res, g):
     fused_ok = (masked and not weight_grads) or (not masked and n_pad == 0)
     if (fused_ok and grad_scratch <= 8 * 1024 * 1024
             and window_live <= live_budget
-            and jax.default_backend() == "tpu"):
+            and not dispatch.xla_only()):
         dx, dw, db, dls, dlb, dwp, dbp = _fused_window_block_bwd_impl(
             x, g, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
             num_heads, residual, weight_grads,

@@ -14,6 +14,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from sam2unet_tpu.ops.pallas import dispatch
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -65,6 +67,22 @@ def _xla_mlp(x, w1, b1, w2, b2, ln_scale=None, ln_bias=None, residual=False):
     return x + o if residual else o
 
 
+def _f32_weights_overflow(x, *weights) -> bool:
+    """Mosaic compiles far larger bf16 weight operands than f32 ones: the
+    f32 d=768 MLP (18.9 MB of weights) overflows scoped VMEM while the
+    bf16 d=1152 MLP (21.2 MB) compiles — f32 operands need stack relayout
+    copies (caught by verify_export's fp32 trace on TPU). Large-f32 cases
+    route to the XLA form; bf16 always uses the kernel."""
+    if jnp.dtype(x.dtype).itemsize < 4:
+        return False
+    n = 0
+    for w in weights:
+        k = 1
+        for dim in w.shape:
+            k *= dim
+        n += k
+    return n * 4 > 12 * 1024 * 1024
+
 def fused_mlp(x: jnp.ndarray, w1, b1, w2, b2, ln_scale=None, ln_bias=None,
               residual: bool = False,
               weight_grads: bool = True) -> jnp.ndarray:
@@ -81,7 +99,7 @@ def fused_mlp(x: jnp.ndarray, w1, b1, w2, b2, ln_scale=None, ln_bias=None,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual,
                    weight_grads=True):
-    if jax.default_backend() != "tpu":
+    if dispatch.xla_only() or _f32_weights_overflow(x, w1, w2):
         return _xla_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual)
     use_ln = ln_scale is not None
     shape = x.shape
@@ -161,7 +179,7 @@ def fused_ln_matmul(x, w, b, ln_scale, ln_bias, add_bias=True):
     """LayerNorm (eps 1e-6) -> x @ W [+ b], one HBM pass over x. Used for
     the pre-norm QKV projection in Hiera blocks; add_bias=False lets the
     caller fuse the bias into a later pass (window-pad fill)."""
-    if jax.default_backend() != "tpu":
+    if dispatch.xla_only() or _f32_weights_overflow(x, w):
         return _xla_ln_matmul(x, w, b, ln_scale, ln_bias, add_bias)
     shape = x.shape
     d = shape[-1]
@@ -231,7 +249,7 @@ def fused_ln_qkv(x, w, b, ln_scale, ln_bias, add_bias=True):
     One HBM pass over x, qkv matmul at full MXU width, and the split is an
     in-VMEM relayout — the three outputs land as separate aligned arrays.
     Replaces hieradet.py:60-63's qkv projection + unbind."""
-    if jax.default_backend() != "tpu":
+    if dispatch.xla_only() or _f32_weights_overflow(x, w):
         return _xla_ln_qkv(x, w, b, ln_scale, ln_bias, add_bias)
     shape = x.shape
     d = shape[-1]
@@ -419,7 +437,8 @@ def _fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, residual, weight_grads=True):
 
 def _bwd(residual, weight_grads, res, g):
     x, w1, b1, w2, b2, ln_scale, ln_bias = res
-    if not weight_grads and jax.default_backend() == "tpu":
+    if (not weight_grads and not dispatch.xla_only()
+            and not _f32_weights_overflow(x, w1, w2)):
         dx = _mlp_bwd_dx(x, g, w1, b1, w2, ln_scale, ln_bias, residual)
         zeros = [jnp.zeros_like(t) for t in (w1, b1, w2, b2)]
         lz = (None if ln_scale is None else jnp.zeros_like(ln_scale),
