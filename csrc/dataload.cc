@@ -99,9 +99,9 @@ int dl_jpeg_decode(const uint8_t* buf, size_t n, uint8_t* out, int out_cap) {
 // letterbox placement at (top, left) inside a (size, size) fp32 NHWC
 // canvas and per-channel normalization out = (x/255 - mean) / std.
 // Taps: idx_h (nh, th) int32 rows into the source; w_h (nh, th) fp32
-// weights (rows sum to 1); likewise idx_w/w_w for width. The canvas must
-// be pre-zeroed by the caller (padding rows/cols are zeros, matching
-// data/transforms.py::letterbox).
+// weights (rows sum to 1); likewise idx_w/w_w for width. The caller
+// pre-fills the canvas with the normalized-zero value (0-mean)/std —
+// data/transforms.py::letterbox pads with zeros BEFORE normalize.
 int dl_letterbox_norm(const uint8_t* rgb, int h, int w,
                       const int32_t* idx_h, const float* w_h, int nh, int th,
                       const int32_t* idx_w, const float* w_w, int nw, int tw,
@@ -148,39 +148,6 @@ int dl_letterbox_norm(const uint8_t* rgb, int h, int w,
       dst[x * 3 + 0] = (acc0 - mean[0]) * inv_std[0];
       dst[x * 3 + 1] = (acc1 - mean[1]) * inv_std[1];
       dst[x * 3 + 2] = (acc2 - mean[2]) * inv_std[2];
-    }
-  }
-  return 0;
-}
-
-// Same separable taps-resize for a single-channel uint8 mask -> fp32 [0,1]
-// (train labels, dataset.py:300-305 path). out is (nh, nw), no padding.
-int dl_resize_gray(const uint8_t* gray, int h, int w,
-                   const int32_t* idx_h, const float* w_h, int nh, int th,
-                   const int32_t* idx_w, const float* w_w, int nw, int tw,
-                   float* out) {
-  std::vector<float> mid(static_cast<size_t>(h) * nw);
-  constexpr float kInv255 = 1.0f / 255.0f;
-  for (int y = 0; y < h; ++y) {
-    const uint8_t* src = gray + static_cast<size_t>(y) * w;
-    float* dst = mid.data() + static_cast<size_t>(y) * nw;
-    for (int x = 0; x < nw; ++x) {
-      float acc = 0.f;
-      const int32_t* ti = idx_w + static_cast<size_t>(x) * tw;
-      const float* tv = w_w + static_cast<size_t>(x) * tw;
-      for (int t = 0; t < tw; ++t) acc += tv[t] * src[ti[t]];
-      dst[x] = acc * kInv255;
-    }
-  }
-  for (int y = 0; y < nh; ++y) {
-    float* dst = out + static_cast<size_t>(y) * nw;
-    const int32_t* ti = idx_h + static_cast<size_t>(y) * th;
-    const float* tv = w_h + static_cast<size_t>(y) * th;
-    for (int x = 0; x < nw; ++x) {
-      float acc = 0.f;
-      for (int t = 0; t < th; ++t)
-        acc += tv[t] * mid[static_cast<size_t>(ti[t]) * nw + x];
-      dst[x] = acc;
     }
   }
   return 0;

@@ -120,7 +120,22 @@ def build_sam2_image_predictor(config_name="sam2_hiera_s", ckpt_path=None, **kw)
 
 
 def build_sam2_video_predictor(config_name="sam2_hiera_s", ckpt_path=None, **kw):
+    """Video-predictor factory with the reference's video-specific
+    postprocessing defaults (sam2/build_sam.py:55-66): binarized memory
+    encoding for prompted frames and small-hole filling (area 8) in the
+    predicted mask scores, both disabled by apply_postprocessing=False."""
     from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
 
-    model, variables = build_sam2(config_name, ckpt_path, **kw)
-    return SAM2VideoPredictor(model, variables)
+    overrides = list(kw.pop("hydra_overrides_extra", ()))
+    fill_hole_area = kw.pop("fill_hole_area", None)
+    if kw.get("apply_postprocessing", True):
+        overrides = overrides + [
+            "++model.binarize_mask_from_pts_for_mem_enc=true",
+        ]
+        if fill_hole_area is None:
+            fill_hole_area = 8
+    model, variables = build_sam2(
+        config_name, ckpt_path, hydra_overrides_extra=overrides, **kw
+    )
+    return SAM2VideoPredictor(model, variables,
+                              fill_hole_area=fill_hole_area or 0)

@@ -13,7 +13,7 @@ both without a hydra dependency:
 - `instantiate(node)` -> recursively import+call `_target_` nodes
   (`_partial_: true` returns a functools.partial, as in hydra)
 - `compose(yaml_path, overrides)` -> dict from file + dotlist merge
-- `configs_from_tree(cfg)` -> (HieraConfig, SAM2Config, extras) from a FULL
+- `configs_from_tree(cfg)` -> (HieraConfig, SAM2Config) from a FULL
   reference config tree (sam2_configs/*.yaml shape): the migration path for
   users carrying the reference's YAML files. `_target_` nodes inside the
   model tree are ignored — this framework fixes the module architecture at

@@ -47,13 +47,8 @@ def _lib():
         + [_I32P, _F32P, ctypes.c_int, ctypes.c_int] * 2
         + [ctypes.c_int] * 3 + [_F32P, _F32P, _F32P]
     )
-    lib.dl_resize_gray.argtypes = (
-        [_U8P] + [ctypes.c_int] * 2
-        + [_I32P, _F32P, ctypes.c_int, ctypes.c_int] * 2
-        + [_F32P]
-    )
     for fn in (lib.dl_jpeg_info, lib.dl_jpeg_decode,
-               lib.dl_letterbox_norm, lib.dl_resize_gray):
+               lib.dl_letterbox_norm):
         fn.restype = ctypes.c_int
     return lib
 
@@ -126,23 +121,3 @@ def letterbox_norm(rgb: np.ndarray, size: int):
     if rc != 0:
         raise RuntimeError(f"dl_letterbox_norm failed ({rc})")
     return out, (left, top, pad_w - left, pad_h - top)
-
-
-def resize_gray(gray: np.ndarray, nh: int, nw: int) -> np.ndarray:
-    """uint8 (H, W) -> fp32 (nh, nw) in [0,1], bilinear+antialias taps."""
-    lib = _lib()
-    assert lib is not None
-    h, w = gray.shape
-    ih, wh = _taps_c(h, nh, "bilinear", True)
-    iw, ww = _taps_c(w, nw, "bilinear", True)
-    out = np.empty((nh, nw), np.float32)
-    gray = np.ascontiguousarray(gray)
-    rc = lib.dl_resize_gray(
-        _u8p(gray), h, w,
-        ih.ctypes.data_as(_I32P), _f32p(wh), nh, ih.shape[1],
-        iw.ctypes.data_as(_I32P), _f32p(ww), nw, iw.shape[1],
-        _f32p(out),
-    )
-    if rc != 0:
-        raise RuntimeError(f"dl_resize_gray failed ({rc})")
-    return out

@@ -201,9 +201,14 @@ class SAM2ImagePredictor:
             low_res = jnp.clip(low_res.astype(jnp.float32), -32.0, 32.0)
             if orig_hw is None:
                 return low_res, ious, low_res
-            full = jax.image.resize(
-                low_res, (*low_res.shape[:2], *orig_hw), "bilinear"
-            )
+            # exact-taps torch-parity resize (ops/resize): identical weights
+            # to the host postprocess_masks path — jax.image.resize would
+            # antialias on downscale and diverge from the reference
+            from sam2unet_tpu.ops.resize import resize as _device_resize
+
+            full = _device_resize(
+                low_res.transpose(0, 2, 3, 1), orig_hw
+            ).transpose(0, 3, 1, 2)
 
             def pack(m):
                 # bit-pack along width: the host<->device link is the
@@ -303,15 +308,12 @@ class SAM2ImagePredictor:
             labels = np.concatenate([labels, -np.ones((b, 1), np.int32)], axis=1)
 
         b = coords.shape[0]
-        image_embed = jnp.repeat(
-            self._features["image_embed"][img_idx : img_idx + 1], b, axis=0
-        )
-        high0 = jnp.repeat(
-            self._features["high_res_feats"][0][img_idx : img_idx + 1], b, axis=0
-        )
-        high1 = jnp.repeat(
-            self._features["high_res_feats"][1][img_idx : img_idx + 1], b, axis=0
-        )
+        # batch-1 features broadcast against B prompts inside the decoder
+        # (src = image_embeddings + dense_prompt_embeddings) — repeating
+        # them here would copy ~17 MB x B of HBM per AMG decode call
+        image_embed = self._features["image_embed"][img_idx : img_idx + 1]
+        high0 = self._features["high_res_feats"][0][img_idx : img_idx + 1]
+        high1 = self._features["high_res_feats"][1][img_idx : img_idx + 1]
         mi = None
         if mask_input is not None:
             mi = np.asarray(mask_input, np.float32)
@@ -382,15 +384,9 @@ class SAM2ImagePredictor:
         labels = np.concatenate(
             [point_labels, -np.ones((b, 1), np.int32)], axis=1
         )
-        image_embed = jnp.repeat(
-            self._features["image_embed"][img_idx : img_idx + 1], b, axis=0
-        )
-        high0 = jnp.repeat(
-            self._features["high_res_feats"][0][img_idx : img_idx + 1], b, axis=0
-        )
-        high1 = jnp.repeat(
-            self._features["high_res_feats"][1][img_idx : img_idx + 1], b, axis=0
-        )
+        image_embed = self._features["image_embed"][img_idx : img_idx + 1]
+        high0 = self._features["high_res_feats"][0][img_idx : img_idx + 1]
+        high1 = self._features["high_res_feats"][1][img_idx : img_idx + 1]
         packed, ious, low_res, stability = self._decode(
             self.variables, image_embed, high0, high1,
             jnp.asarray(coords.astype(np.float32)),

@@ -800,10 +800,15 @@ class SAM2VideoPredictor:
             )
 
         _, _, _, low_res_masks, high_res_masks, obj_ptr, _ = sam_outputs
+        pred_masks = np.asarray(low_res_masks, np.float32)
+        if self.fill_hole_area > 0:
+            # (sam2_video_predictor.py:809-812 + misc.py:216-228): small
+            # background components become foreground with score 0.1
+            pred_masks = self._fill_holes(pred_masks)
         current_out = {
             "point_inputs": point_inputs,
             "mask_inputs": mask_inputs,
-            "pred_masks": np.asarray(low_res_masks, np.float32),
+            "pred_masks": pred_masks,
             "pred_masks_high_res": np.asarray(high_res_masks, np.float32),
             "obj_ptr": np.asarray(obj_ptr, np.float32),
             "maskmem_features": None,
@@ -817,6 +822,18 @@ class SAM2VideoPredictor:
             current_out["maskmem_features"] = feats
             current_out["maskmem_pos_enc"] = penc
         return current_out
+
+    def _fill_holes(self, masks: np.ndarray) -> np.ndarray:
+        """Fill background connected components with area <= fill_hole_area
+        with a small positive score (misc.py:216-228 semantics); masks are
+        (B, 1, h, w) float scores."""
+        from sam2unet_tpu.ops.connected_components import (
+            label_components_native,
+        )
+
+        labels, areas = label_components_native((masks <= 0).astype(np.uint8))
+        is_hole = (labels > 0) & (areas <= self.fill_hole_area)
+        return np.where(is_hole, np.float32(0.1), masks)
 
     def _run_memory_encoder_feats(self, top_feat, high_res_masks, is_mask_from_pts):
         feats, pos = self._jit_encode_memory(

@@ -87,17 +87,6 @@ def test_letterbox_norm_square_and_tall(tmp_path):
             )
 
 
-def test_resize_gray_matches_python(tmp_path):
-    rng = np.random.default_rng(3)
-    g = (rng.random((123, 257)) * 255).astype(np.uint8)
-    got = native_loader.resize_gray(g, 352, 352)
-    from sam2unet_tpu.ops.resize_np import resize_np
-
-    want = resize_np(g.astype(np.float32)[None] / 255.0, (352, 352),
-                     "bilinear", antialias=True)[0]
-    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
-
-
 def test_eval_dataset_uses_native_and_matches_pil(tmp_path, monkeypatch):
     (tmp_path / "im").mkdir()
     (tmp_path / "gt").mkdir()
@@ -116,8 +105,9 @@ def test_eval_dataset_uses_native_and_matches_pil(tmp_path, monkeypatch):
 
 
 def test_native_decode_throughput(tmp_path):
-    """Sanity perf: native decode+letterbox beats PIL on the same images
-    (skip-tolerant — only asserts it is not drastically slower)."""
+    """Prints native-vs-python pipeline timing; no wall-clock assertion
+    (shared machines make timing thresholds flaky — same-session A/B in
+    docs/PERF.md is the perf record)."""
     paths = [_jpeg_file(tmp_path, h=480, w=640, seed=i, name=f"t{i}.jpg")
              for i in range(8)]
 
@@ -136,4 +126,3 @@ def test_native_decode_throughput(tmp_path):
     pil_s = time.perf_counter() - t0
 
     print(f"native {native_s * 1e3:.1f} ms vs python {pil_s * 1e3:.1f} ms")
-    assert native_s < pil_s * 1.5
