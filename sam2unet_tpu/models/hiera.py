@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sam2unet_tpu.configs import HieraConfig
-from sam2unet_tpu.nn.layers import MLP, DropPath, SequentialMLP, gelu, layer_norm
+from sam2unet_tpu.nn.layers import MLP, DropPath, gelu, layer_norm
 from sam2unet_tpu.ops.attention import sdpa
 from sam2unet_tpu.ops.pooling import max_pool2d
 from sam2unet_tpu.ops.resize import resize
@@ -266,13 +266,24 @@ class AdapterBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from sam2unet_tpu.nn.layers import SequentialMLPParams
+        from sam2unet_tpu.ops.pallas.fused_mlp import fused_mlp
+
         dim = self.block_kwargs["dim"]
-        prompt = SequentialMLP(
-            (self.adapter_dim, dim), activation=gelu, dtype=self.dtype,
-            name="prompt_learn",
-        )(x)
+        # one fused pass: down-proj -> gelu -> up-proj -> gelu -> +x. The
+        # unfused form materialized four full-res fp32 erf-GELU chains per
+        # adapter (142 MB each at stage 1) — the dominant write source in
+        # the post-mega-kernel HLO byte attribution (docs/PERF.md)
+        p = SequentialMLPParams(dim, (self.adapter_dim, dim),
+                                name="prompt_learn")
+        xa = fused_mlp(
+            x.astype(self.dtype),
+            p.layers_0.kernel, p.layers_0.bias,
+            p.layers_2.kernel, p.layers_2.bias,
+            residual=True, gelu_out=True,
+        )
         return MultiScaleBlock(**self.block_kwargs, dtype=self.dtype, name="block")(
-            x + prompt, train
+            xa, train
         )
 
 

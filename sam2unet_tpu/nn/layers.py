@@ -105,6 +105,21 @@ class MLPParams(nn.Module):
         self.layers_1 = _DenseParams(self.hidden, self.out_features)
 
 
+class SequentialMLPParams(nn.Module):
+    """Parameter-only Linear->act->Linear with torch Sequential {0, 2}
+    names (the Adapter's prompt_learn tree) — weights for the fused
+    adapter kernel path."""
+
+    in_features: int
+    dims: Sequence[int]
+
+    def setup(self):
+        prev = self.in_features
+        for j, d in enumerate(self.dims):
+            setattr(self, f"layers_{2 * j}", _DenseParams(prev, d))
+            prev = d
+
+
 class MLP(nn.Module):
     """Stacked Dense with activation on all but the last layer.
 

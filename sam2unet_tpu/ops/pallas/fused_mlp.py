@@ -24,7 +24,7 @@ _LN_EPS = 1e-6
 
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref,
-            *, use_ln: bool, residual: bool):
+            *, use_ln: bool, residual: bool, gelu_out: bool = False):
     x = x_ref[:]
     if use_ln:
         xf = x.astype(jnp.float32)
@@ -44,12 +44,15 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref,
     h = jax.nn.gelu(h, approximate=True)
     o = jnp.dot(h.astype(x.dtype), w2_ref[:], preferred_element_type=jnp.float32)
     o = o + b2_ref[:].astype(jnp.float32)
+    if gelu_out:
+        o = jax.nn.gelu(o, approximate=True)
     if residual:
         o = o + x.astype(jnp.float32)
     o_ref[:] = o.astype(o_ref.dtype)
 
 
-def _xla_mlp(x, w1, b1, w2, b2, ln_scale=None, ln_bias=None, residual=False):
+def _xla_mlp(x, w1, b1, w2, b2, ln_scale=None, ln_bias=None, residual=False,
+             gelu_out=False):
     y = x
     if ln_scale is not None:
         xf = x.astype(jnp.float32)
@@ -63,7 +66,10 @@ def _xla_mlp(x, w1, b1, w2, b2, ln_scale=None, ln_bias=None, residual=False):
          + b1).astype(jnp.float32),
         approximate=False,
     ).astype(x.dtype)
-    o = (jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2).astype(x.dtype)
+    o = jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2
+    if gelu_out:
+        o = jax.nn.gelu(o.astype(jnp.float32), approximate=False)
+    o = o.astype(x.dtype)
     return x + o if residual else o
 
 
@@ -85,22 +91,27 @@ def _f32_weights_overflow(x, *weights) -> bool:
 
 def fused_mlp(x: jnp.ndarray, w1, b1, w2, b2, ln_scale=None, ln_bias=None,
               residual: bool = False,
-              weight_grads: bool = True) -> jnp.ndarray:
-    """[LN ->] x @ W1 -> gelu -> @ W2 [-> +x]. x: (..., D).
+              weight_grads: bool = True,
+              gelu_out: bool = False) -> jnp.ndarray:
+    """[LN ->] x @ W1 -> gelu -> @ W2 [-> gelu] [-> +x]. x: (..., D).
 
     weight_grads=False declares the MLP frozen (the fork hard-freezes the
     trunk): the backward runs a dx-only Pallas kernel — the 4x hidden
     never touches HBM in either direction — and returns zero weight grads.
-    Pair with stop_gradient on the weights."""
+    Pair with stop_gradient on the weights.
+
+    gelu_out=True applies GELU to the second projection too (before the
+    residual) — the Adapter's prompt_learn shape (SAM2UNet.py:57-59)."""
     return _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual,
-                          weight_grads)
+                          weight_grads, gelu_out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual,
-                   weight_grads=True):
+                   weight_grads=True, gelu_out=False):
     if dispatch.xla_only() or _f32_weights_overflow(x, w1, w2):
-        return _xla_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual)
+        return _xla_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual,
+                        gelu_out)
     use_ln = ln_scale is not None
     shape = x.shape
     d = shape[-1]
@@ -122,7 +133,8 @@ def _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual,
         ln = jnp.zeros((2, d), x.dtype)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, use_ln=use_ln, residual=residual),
+        functools.partial(_kernel, use_ln=use_ln, residual=residual,
+                          gelu_out=gelu_out),
         grid=(np_ // _TILE,),
         in_specs=[
             pl.BlockSpec((_TILE, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -429,15 +441,16 @@ def _mlp_bwd_dx(x, g, w1, b1, w2, ln_scale, ln_bias, residual,
     return dx.reshape(shape)
 
 
-def _fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, residual, weight_grads=True):
+def _fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, residual, weight_grads=True,
+         gelu_out=False):
     out = _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual,
-                         weight_grads)
+                         weight_grads, gelu_out)
     return out, (x, w1, b1, w2, b2, ln_scale, ln_bias)
 
 
-def _bwd(residual, weight_grads, res, g):
+def _bwd(residual, weight_grads, gelu_out, res, g):
     x, w1, b1, w2, b2, ln_scale, ln_bias = res
-    if (not weight_grads and not dispatch.xla_only()
+    if (not weight_grads and not gelu_out and not dispatch.xla_only()
             and not _f32_weights_overflow(x, w1, w2)):
         dx = _mlp_bwd_dx(x, g, w1, b1, w2, ln_scale, ln_bias, residual)
         zeros = [jnp.zeros_like(t) for t in (w1, b1, w2, b2)]
@@ -446,7 +459,8 @@ def _bwd(residual, weight_grads, res, g):
         return (dx, *zeros, *lz)
 
     def ref(x, w1, b1, w2, b2, ln_scale, ln_bias):
-        return _xla_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual)
+        return _xla_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual,
+                        gelu_out)
 
     args = (x, w1, b1, w2, b2, ln_scale, ln_bias)
     if ln_scale is None:
