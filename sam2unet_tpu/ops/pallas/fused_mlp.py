@@ -441,6 +441,152 @@ def _mlp_bwd_dx(x, g, w1, b1, w2, ln_scale, ln_bias, residual,
     return dx.reshape(shape)
 
 
+
+def _adapter_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                        dw1_acc, db1_acc, dw2_acc, db2_acc,
+                        *, residual: bool, nsteps: int):
+    """Full backward for the adapter form (x@W1 -> gelu -> @W2 -> gelu
+    [-> +x], no LN): dx per tile plus f32 weight-grad accumulators — the
+    (T, hidden) intermediates and both recomputed activations never leave
+    VMEM. tanh-gelu derivative matches the forward kernel."""
+    i = pl.program_id(0)
+    x = x_ref[:]                                     # (T, d)
+    gy = g_ref[:].astype(jnp.float32)
+    y1 = jax.lax.dot_general(                        # (T, hidden) f32
+        x, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:].astype(jnp.float32)
+    u1 = _SQRT_2_PI * (y1 + _GELU_C * y1 * y1 * y1)
+    t1 = jnp.tanh(u1)
+    h = 0.5 * y1 * (1.0 + t1)
+    y2 = jax.lax.dot_general(                        # (T, d) f32
+        h.astype(x.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:].astype(jnp.float32)
+    u2 = _SQRT_2_PI * (y2 + _GELU_C * y2 * y2 * y2)
+    t2 = jnp.tanh(u2)
+    dg2 = (0.5 * (1.0 + t2)
+           + 0.5 * y2 * (1.0 - t2 * t2)
+           * _SQRT_2_PI * (1.0 + 3.0 * _GELU_C * y2 * y2))
+    dy2 = gy * dg2                                   # (T, d) f32
+    dy2c = dy2.astype(x.dtype)
+    dw2_blk = jax.lax.dot_general(                   # h^T dy2: (hidden, d)
+        h.astype(x.dtype), dy2c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2_blk = jnp.sum(dy2, axis=0, keepdims=True)    # (1, d)
+    dh = jax.lax.dot_general(                        # dy2 @ W2^T: (T, hidden)
+        dy2c, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dg1 = (0.5 * (1.0 + t1)
+           + 0.5 * y1 * (1.0 - t1 * t1)
+           * _SQRT_2_PI * (1.0 + 3.0 * _GELU_C * y1 * y1))
+    dy1 = dh * dg1                                   # (T, hidden) f32
+    dy1c = dy1.astype(x.dtype)
+    dw1_blk = jax.lax.dot_general(                   # x^T dy1: (d, hidden)
+        x, dy1c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_blk = jnp.sum(dy1, axis=0, keepdims=True)    # (1, hidden)
+    dx = jax.lax.dot_general(                        # dy1 @ W1^T: (T, d)
+        dy1c, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if residual:
+        dx = dx + gy
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_acc[:] = dw1_blk
+        db1_acc[:] = db1_blk
+        dw2_acc[:] = dw2_blk
+        db2_acc[:] = db2_blk
+
+    @pl.when(i > 0)
+    def _():
+        dw1_acc[:] = dw1_acc[:] + dw1_blk
+        db1_acc[:] = db1_acc[:] + db1_blk
+        dw2_acc[:] = dw2_acc[:] + dw2_blk
+        db2_acc[:] = db2_acc[:] + db2_blk
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        dw1_ref[:] = dw1_acc[:]
+        db1_ref[:] = db1_acc[:]
+        dw2_ref[:] = dw2_acc[:]
+        db2_ref[:] = db2_acc[:]
+
+
+def _adapter_bwd(x, g, w1, b1, w2, b2, residual, interpret=False):
+    """Returns (dx, dw1, db1, dw2, db2) for the gelu_out adapter MLP."""
+    shape = x.shape
+    d = shape[-1]
+    hidden = w1.shape[1]
+    n = 1
+    for s_ in shape[:-1]:
+        n *= s_
+    xf = x.reshape(n, d)
+    gf = g.reshape(n, d)
+    tile = 256
+    pad = (-n) % tile
+    if pad:
+        # zero gy pads contribute zero to every grad term
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+        gf = jnp.pad(gf, ((0, pad), (0, 0)))
+    np_ = xf.shape[0]
+    nsteps = np_ // tile
+    outs = pl.pallas_call(
+        functools.partial(_adapter_bwd_kernel, residual=residual,
+                          nsteps=nsteps),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, d), x.dtype),
+            jax.ShapeDtypeStruct((d, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, hidden), jnp.float32),
+            pltpu.VMEM((1, hidden), jnp.float32),
+            pltpu.VMEM((hidden, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xf, gf, jnp.asarray(w1, x.dtype), b1.reshape(1, -1).astype(jnp.float32),
+      jnp.asarray(w2, x.dtype), b2.reshape(1, -1).astype(jnp.float32))
+    dx, dw1, db1, dw2, db2 = outs
+    if pad:
+        dx = dx[:n]
+    return (dx.reshape(shape), dw1.astype(w1.dtype),
+            db1.reshape(-1).astype(b1.dtype), dw2.astype(w2.dtype),
+            db2.reshape(-1).astype(b2.dtype))
+
+
 def _fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, residual, weight_grads=True,
          gelu_out=False):
     out = _fused_mlp_vjp(x, w1, b1, w2, b2, ln_scale, ln_bias, residual,
@@ -450,6 +596,14 @@ def _fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, residual, weight_grads=True,
 
 def _bwd(residual, weight_grads, gelu_out, res, g):
     x, w1, b1, w2, b2, ln_scale, ln_bias = res
+    if (gelu_out and weight_grads and ln_scale is None
+            and w1.shape[1] <= 128
+            and not dispatch.xla_only()
+            and not _f32_weights_overflow(x, w1, w2)):
+        # trainable adapter: fused dx + weight grads (hidden <= 128 keeps
+        # the per-tile f32 accumulators small)
+        dx, dw1, db1, dw2, db2 = _adapter_bwd(x, g, w1, b1, w2, b2, residual)
+        return dx, dw1, db1, dw2, db2, None, None
     if (not weight_grads and not gelu_out and not dispatch.xla_only()
             and not _f32_weights_overflow(x, w1, w2)):
         dx = _mlp_bwd_dx(x, g, w1, b1, w2, ln_scale, ln_bias, residual)
@@ -465,7 +619,8 @@ def _bwd(residual, weight_grads, gelu_out, res, g):
     args = (x, w1, b1, w2, b2, ln_scale, ln_bias)
     if ln_scale is None:
         def ref2(x, w1, b1, w2, b2):
-            return _xla_mlp(x, w1, b1, w2, b2, None, None, residual)
+            return _xla_mlp(x, w1, b1, w2, b2, None, None, residual,
+                            gelu_out)
 
         _, vjp = jax.vjp(ref2, x, w1, b1, w2, b2)
         dx, dw1, db1, dw2, db2 = vjp(g)

@@ -49,6 +49,37 @@ def test_fused_mlp_ln_residual_grads():
                                    atol=1e-5)
 
 
+def test_fused_mlp_gelu_out_value_and_grads():
+    """The adapter form (gelu on the second projection, then residual):
+    value AND gradients must match the erf-XLA reference within tanh-gelu
+    tolerance — guards the backward recompute passing gelu_out through
+    (a dropped flag differentiates the wrong function)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((6, 24)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((24, 8)) * 0.2)
+    b1 = jnp.asarray(rng.standard_normal(8) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((8, 24)) * 0.2)
+    b2 = jnp.asarray(rng.standard_normal(24) * 0.1)
+
+    def f(x, w1, b1, w2, b2):
+        return fused_mlp(x, w1, b1, w2, b2, residual=True,
+                         gelu_out=True).sum()
+
+    def fr(x, w1, b1, w2, b2):
+        return _xla_mlp(x, w1, b1, w2, b2, residual=True,
+                        gelu_out=True).sum()
+
+    np.testing.assert_allclose(
+        float(fused_mlp(x, w1, b1, w2, b2, residual=True,
+                        gelu_out=True).sum()),
+        float(fr(x, w1, b1, w2, b2)), rtol=1e-5)
+    g = jax.grad(f, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gr = jax.grad(fr, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, r in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_fused_ln_qkv_matches_ln_matmul_slices():
     from sam2unet_tpu.ops.pallas.fused_mlp import fused_ln_qkv
 
@@ -332,3 +363,29 @@ def test_partition_fill_equals_project_after_pad():
     back = window_unpartition(got, window, pad_hw, (6, 7))
     np.testing.assert_allclose(np.asarray(back), np.asarray(qkv_nobias),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_adapter_bwd_kernel_interpret():
+    """Fused adapter backward (dx + weight grads) vs jax.vjp over the
+    tanh-gelu functional form the forward kernel computes."""
+    from sam2unet_tpu.ops.pallas.fused_mlp import _adapter_bwd
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 5, 24)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((24, 8)) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((8, 24)) * 0.3, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(24) * 0.1, jnp.float32)
+
+    def ref(x, w1, b1, w2, b2):
+        h = jax.nn.gelu(x @ w1 + b1, approximate=True)
+        o = jax.nn.gelu(h @ w2 + b2, approximate=True)
+        return x + o
+
+    y, vjp = jax.vjp(ref, x, w1, b1, w2, b2)
+    g = jnp.asarray(rng.standard_normal(y.shape), jnp.float32)
+    want = vjp(g)
+    got = _adapter_bwd(x, g, w1, b1, w2, b2, residual=True, interpret=True)
+    for a, r in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5)
