@@ -78,26 +78,6 @@ class SAM2VideoPredictor:
         self._jit_forward_image = jax.jit(
             lambda v, x: m.apply(v, x, method=SAM2Base.forward_image)
         )
-        self._jit_condition = jax.jit(
-            lambda v, f, p, mem, mem_pos, valid, nptr: m.apply(
-                v, f, p, mem, mem_pos, nptr, memory_valid=valid,
-                method=SAM2Base.condition_features_on_memory,
-            ),
-            static_argnames=("nptr",),
-        )
-        self._jit_condition_init = jax.jit(
-            lambda v, f, p: m.apply(
-                v, f, p, None, None, 0, True,
-                method=SAM2Base.condition_features_on_memory,
-            )
-        )
-        self._jit_heads = jax.jit(
-            lambda v, bf, c, l, mi, hr0, hr1, multi: m.apply(
-                v, bf, c, l, mi, (hr0, hr1), multi,
-                method=SAM2Base.forward_sam_heads,
-            ),
-            static_argnames=("multi",),
-        )
         self._jit_mask_as_output = jax.jit(
             lambda v, bf, hr0, hr1, mi: m.apply(
                 v, bf, (hr0, hr1), mi, method=SAM2Base.use_mask_as_output
@@ -108,6 +88,35 @@ class SAM2VideoPredictor:
                 v, f, masks, from_pts, method=SAM2Base.encode_new_memory
             ),
             static_argnames=("from_pts",),
+        )
+
+        # whole tracked-frame program: memory conditioning + SAM heads
+        # [+ memory encoding] in ONE dispatch — the per-frame hot path is
+        # otherwise 3 device calls whose launch latency dominates streaming
+        # (reference runs everything in one eager graph per frame,
+        # sam2_base.py:704-799)
+        def track(v, f, p, mem, mem_pos, valid, nptr, c, l, mi, hr0, hr1,
+                  multi, encode, from_pts):
+            def run(mm: SAM2Base):
+                if mem is None:
+                    pix = mm.condition_features_on_memory(f, p, None, None,
+                                                          0, True)
+                else:
+                    pix = mm.condition_features_on_memory(
+                        f, p, mem, mem_pos, nptr, memory_valid=valid
+                    )
+                outs = mm.forward_sam_heads(pix, c, l, mi, (hr0, hr1), multi)
+                if not encode:
+                    return outs, None, None
+                high_res_masks = outs[4]
+                feats, penc = mm.encode_new_memory(f, high_res_masks,
+                                                   from_pts)
+                return outs, feats, penc
+
+            return m.apply(v, method=run)
+
+        self._jit_track = jax.jit(
+            track, static_argnames=("nptr", "multi", "encode", "from_pts")
         )
 
     # -------------------------------------------------------------- state
@@ -766,20 +775,18 @@ class SAM2VideoPredictor:
             sam_outputs = self._jit_mask_as_output(
                 self.variables, top_feat, high_res[0], high_res[1], mi
             )
+            feats_d = penc_d = None
         else:
             if is_init_cond_frame:
-                pix_feat = self._jit_condition_init(
-                    self.variables, top_feat, top_pos
-                )
+                memory = memory_pos = valid = None
+                nptr = 0
             else:
                 memory, memory_pos, valid, nptr = self._gather_memory(
                     state, output_dict, frame_idx, batch_size, reverse
                 )
-                pix_feat = self._jit_condition(
-                    self.variables, top_feat, top_pos,
-                    jnp.asarray(memory), jnp.asarray(memory_pos),
-                    jnp.asarray(valid), nptr,
-                )
+                memory = jnp.asarray(memory)
+                memory_pos = jnp.asarray(memory_pos)
+                valid = jnp.asarray(valid)
             mi = None
             if prev_sam_mask_logits is not None:
                 mi = jnp.asarray(
@@ -794,9 +801,12 @@ class SAM2VideoPredictor:
                 labels = -jnp.ones((batch_size, 1), jnp.int32)
                 num_pts = 0
             multimask = self.model.use_multimask(is_init_cond_frame, num_pts)
-            sam_outputs = self._jit_heads(
-                self.variables, pix_feat, coords, labels, mi,
+            sam_outputs, feats_d, penc_d = self._jit_track(
+                self.variables, top_feat, top_pos,
+                memory, memory_pos, valid, nptr, coords, labels, mi,
                 high_res[0], high_res[1], multimask,
+                encode=(run_mem_encoder and cfg.num_maskmem > 0),
+                from_pts=(point_inputs is not None),
             )
 
         _, _, _, low_res_masks, high_res_masks, obj_ptr, _ = sam_outputs
@@ -814,7 +824,12 @@ class SAM2VideoPredictor:
             "maskmem_features": None,
             "maskmem_pos_enc": None,
         }
-        if run_mem_encoder and cfg.num_maskmem > 0:
+        if feats_d is not None:
+            current_out["maskmem_features"] = np.asarray(feats_d, np.float32)
+            current_out["maskmem_pos_enc"] = [np.asarray(p, np.float32)
+                                              for p in penc_d]
+        elif run_mem_encoder and cfg.num_maskmem > 0:
+            # mask-as-output frames encode from the provided mask
             feats, penc = self._run_memory_encoder_feats(
                 top_feat, np.asarray(high_res_masks, np.float32),
                 is_mask_from_pts=(point_inputs is not None),

@@ -105,13 +105,14 @@ def test_video_predictor_fixed_memory_signature(tiny_sam2):
     model, variables = tiny_sam2
     pred = SAM2VideoPredictor(model, variables)
     seen = []
-    orig = pred._jit_condition
+    orig = pred._jit_track
 
-    def spy(v, f, p, mem, mem_pos, valid, nptr):
-        seen.append((tuple(mem.shape), tuple(valid.shape), nptr))
-        return orig(v, f, p, mem, mem_pos, valid, nptr)
+    def spy(v, f, p, mem, mem_pos, valid, nptr, *rest, **kw):
+        if mem is not None:
+            seen.append((tuple(mem.shape), tuple(valid.shape), nptr))
+        return orig(v, f, p, mem, mem_pos, valid, nptr, *rest, **kw)
 
-    pred._jit_condition = spy
+    pred._jit_track = spy
     rng = np.random.default_rng(3)
     frames = (rng.random((10, 40, 48, 3)) * 255).astype(np.uint8)
     state = pred.init_state(images=frames)
