@@ -123,3 +123,22 @@ def test_build_sam2_from_reference_yaml(tmp_path):
     assert model.cfg.dynamic_multimask_via_stability is True
     m2, _ = build_sam2(str(p), apply_postprocessing=False)
     assert m2.cfg.dynamic_multimask_via_stability is False
+
+
+def test_video_predictor_builder_postprocessing_defaults():
+    """build_sam2_video_predictor applies the reference's video defaults
+    (sam2/build_sam.py:55-66): binarized memory encoding for prompted
+    frames + fill_hole_area=8; both off with apply_postprocessing=False."""
+    from sam2unet_tpu.build_sam import build_sam2_video_predictor
+
+    pred = build_sam2_video_predictor("hiera_test")
+    assert pred.cfg.binarize_mask_from_pts_for_mem_enc is True
+    assert pred.cfg.dynamic_multimask_via_stability is True
+    assert pred.fill_hole_area == 8
+
+    raw = build_sam2_video_predictor("hiera_test", apply_postprocessing=False)
+    assert raw.cfg.binarize_mask_from_pts_for_mem_enc is False
+    assert raw.fill_hole_area == 0
+    # explicit fill_hole_area wins over the default
+    custom = build_sam2_video_predictor("hiera_test", fill_hole_area=3)
+    assert custom.fill_hole_area == 3
