@@ -739,8 +739,13 @@ class SAM2VideoPredictor:
                             np.zeros(ptr_slots - p_tok, bool)]
             num_obj_ptr_tokens = ptr_slots
 
-        memory = np.concatenate(mems, axis=1)
-        memory_pos = np.concatenate(mem_pos, axis=1)
+        # upload in the model's compute dtype: the memory bank is the
+        # largest per-frame host->device transfer (~1.9 MB f32 per object
+        # batch) and the reference stores mask memories as bf16 anyway
+        # (sam2_video_predictor.py:805)
+        np_dt = np.dtype(jnp.dtype(self.model.dtype).name)
+        memory = np.concatenate(mems, axis=1).astype(np_dt)
+        memory_pos = np.concatenate(mem_pos, axis=1).astype(np_dt)
         valid = np.broadcast_to(
             np.concatenate(valid_parts)[None], memory.shape[:2]
         )
