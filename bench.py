@@ -15,14 +15,23 @@ program round trip is subtracted.
 
 vs_baseline is the ratio to an A100-equivalent PyTorch reference estimate.
 The reference repo records no numbers (BASELINE.md), so the estimate is
-compute-derived: Hiera-L SAM2UNet forward ≈ 0.45 TFLOP/img at 352^2; an
-A100 (312 fp16 TFLOPs) at a typical 35% PyTorch MFU sustains ~240 img/s.
-240 img/s is the 1.0x baseline; the BASELINE.json target is >= 3.0x.
-Train baseline: reference train step ≈ 3x forward FLOPs -> ~80 img/s.
+compute-derived: Hiera-L SAM2UNet forward = 222 GFLOP/img at 352^2 (XLA
+cost-analysis audit, sam2unet_tpu/utils/flops_audit.py); the reference is
+eager fp32 torch with flash attention hard-disabled, so an A100 running it
+lands on the TF32 path (156 TFLOP/s peak) — at a generous 35% MFU that
+sustains ~245 img/s. 240 img/s is kept as the 1.0x baseline (vs_baseline
+under-claims); the BASELINE.json target is >= 3.0x. Train: audited
+580 GFLOP/img (2.6x forward; the frozen trunk needs dx only) -> at the
+same 35% the reference sustains ~94 img/s; the 80 img/s constant is kept
+from the original conservative estimate.
 
-A raw 4096^3 bf16 matmul calibration line is printed to stderr so the
-absolute numbers can be normalized across the machine-state variance
-documented in docs/PERF.md.
+The JSON line is self-auditing: `flops_per_img` is read from XLA's cost
+model of the *compiled benchmark program* (not a hand-derived constant) and
+`mfu` = img/s * flops_per_img / 197e12 (v5e bf16 peak). A raw 4096^3 bf16
+matmul calibration is included so absolute numbers can be normalized across
+the machine-state variance documented in docs/PERF.md; the calibration scan
+auto-scales until its window dwarfs the tunnel round trip and FAILS rather
+than clamps if timing is implausible.
 
 Usage: python bench.py [--mode both|infer|train] [--batch N] [--steps N]
 """
@@ -36,39 +45,110 @@ import time
 
 A100_EQUIV_IMG_PER_S = 240.0
 A100_EQUIV_TRAIN_IMG_PER_S = 80.0
+V5E_PEAK_BF16_TFLOPS = 197.0  # TPU v5e peak bf16 matmul throughput
 
 
 def _roundtrip_seconds(jax, jnp) -> float:
+    """Median empty-program round trip through the tunnel (not min: the
+    subtraction below wants the typical cost of the one readback that ends
+    each measured window, and min under-estimates it)."""
     g = jax.jit(lambda: jnp.zeros(()))
     float(g())  # warm the path
     samples = []
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
         float(g())
         samples.append(time.perf_counter() - t0)
-    return min(samples)
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
+def _timed_window(fn, args, rt: float, what: str) -> float:
+    """Run a pre-compiled jitted scalar-returning program once and return
+    elapsed device seconds. Fails loudly (never clamps) if the window is
+    too small relative to the round-trip to be trustworthy."""
+    t0 = time.perf_counter()
+    val = float(fn(*args))
+    elapsed = time.perf_counter() - t0
+    assert val == val, f"NaN escaped the {what} loop"
+    if elapsed < 5 * rt:
+        raise RuntimeError(
+            f"{what}: measured window {elapsed * 1e3:.1f} ms is < 5x the "
+            f"{rt * 1e3:.1f} ms round trip — timing untrustworthy; raise "
+            f"--steps (never clamp a denominator)"
+        )
+    return elapsed - rt
 
 
 def _calibrate_matmul(jax, jnp, rt: float) -> float:
-    """Raw bf16 4096^3 matmul TFLOP/s — machine-state normalizer."""
+    """Raw bf16 4096^3 matmul TFLOP/s — machine-state normalizer.
+
+    The scan length auto-doubles until the measured window is at least
+    ~20x the tunnel round trip (BENCH_r02's 16-step window was *shorter*
+    than the round trip being subtracted, which drove the denominator
+    negative and the old clamp emitted 2.2e9 TFLOP/s garbage)."""
     from jax import lax
 
-    n, steps = 4096, 16
+    n = 4096
     a = jnp.ones((n, n), jnp.bfloat16)
 
-    @jax.jit
-    def run(a):
-        def body(c, _):
-            return jnp.tanh(c @ a), ()
+    steps = 256
+    while True:
+        @jax.jit
+        def run(a, _steps=steps):
+            def body(c, _):
+                return jnp.tanh(c @ a), ()
 
-        c, _ = lax.scan(body, a, None, length=steps)
-        return c.sum()
+            c, _ = lax.scan(body, a, None, length=_steps)
+            return c.sum()
 
-    float(run(a))  # compile
-    t0 = time.perf_counter()
-    float(run(a))
-    dt = time.perf_counter() - t0 - rt
-    return 2 * n**3 * steps / max(dt, 1e-9) / 1e12
+        float(run(a))  # compile + warm
+        t0 = time.perf_counter()
+        float(run(a))
+        elapsed = time.perf_counter() - t0
+        if elapsed >= 20 * rt:
+            break
+        if steps >= 65536:
+            raise RuntimeError(
+                f"calibration window still {elapsed * 1e3:.1f} ms at "
+                f"{steps} steps vs rt {rt * 1e3:.1f} ms — machine state "
+                "implausible, refusing to report a normalizer"
+            )
+        steps *= 2
+
+    dt = elapsed - rt
+    tflops = 2 * n**3 * steps / dt / 1e12
+    if not (1.0 < tflops < 500.0):
+        raise RuntimeError(
+            f"calibration produced {tflops:.1f} TFLOP/s (window "
+            f"{elapsed * 1e3:.1f} ms, {steps} steps) — outside the sane "
+            "[1, 500] range for one v5e chip; refusing to report garbage"
+        )
+    return tflops
+
+
+def _audit_flops(args) -> dict:
+    """Exact per-image FLOPs from XLA's HLO cost analysis of the same
+    computation graph (Pallas kernels forced to their XLA reference forms),
+    computed in a CPU subprocess because the axon TPU plugin hides the CPU
+    backend in-process. See sam2unet_tpu/utils/flops_audit.py. The TPU
+    backend's own cost_analysis is NOT usable here: Pallas custom calls
+    carry zero attributed flops, which under-counted hiera_l@352 by ~20x."""
+    import subprocess
+
+    cmd = [
+        sys.executable, "-m", "sam2unet_tpu.utils.flops_audit",
+        "--model_cfg", args.model_cfg, "--size", str(args.size),
+        "--mode", args.mode,
+    ]
+    try:
+        res = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=600, check=True
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"[bench] flops audit unavailable: {e}", file=sys.stderr)
+        return {}
 
 
 def _bench_one(mode: str, args, model, variables, jax, jnp, rt: float):
@@ -110,12 +190,10 @@ def _bench_one(mode: str, args, model, variables, jax, jnp, rt: float):
 
         bench_args = (state0, x, y)
 
-    float(run_n(*bench_args))  # compile + warm
-    t0 = time.perf_counter()
-    val = float(run_n(*bench_args))
-    dt = time.perf_counter() - t0 - rt
-    assert val == val, "NaN escaped the bench loop"
-    return batch * steps / max(dt, 1e-9)
+    compiled = run_n.lower(*bench_args).compile()
+    float(compiled(*bench_args))  # warm
+    dt = _timed_window(compiled, bench_args, rt, f"bench[{mode}]")
+    return batch * steps / dt
 
 
 def main() -> None:
@@ -158,15 +236,20 @@ def main() -> None:
               f"{calib:.1f} TFLOP/s (machine-state normalizer)",
               file=sys.stderr)
 
+    flops_img = _audit_flops(args)
     modes = ["infer", "train"] if args.mode == "both" else [args.mode]
-    per_chip = {}
+    per_chip, mfu = {}, {}
     for mode in modes:
         img_per_s = _bench_one(mode, args, model, variables, jax, jnp, rt)
         per_chip[mode] = img_per_s / max(n_chips, 1)
+        fpi = flops_img.get(mode, 0.0)
+        if fpi and on_tpu:
+            mfu[mode] = per_chip[mode] * fpi / (V5E_PEAK_BF16_TFLOPS * 1e12)
         print(
             f"[bench] {mode}: backend={jax.default_backend()} chips={n_chips} "
             f"batch={args.batch} steps={args.steps} (rt {rt * 1e3:.0f}ms) "
-            f"total={img_per_s:.2f} img/s",
+            f"total={img_per_s:.2f} img/s "
+            f"xla_flops/img={fpi / 1e9:.2f}G mfu={mfu.get(mode, 0.0):.3f}",
             file=sys.stderr,
         )
 
@@ -179,11 +262,19 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip[primary] / base, 3),
     }
+    if flops_img.get(primary):
+        record["flops_per_img"] = round(flops_img[primary])
+    if primary in mfu:
+        record["mfu"] = round(mfu[primary], 4)
     if "train" in per_chip and primary == "infer":
         record["train_img_per_s_chip"] = round(per_chip["train"], 2)
         record["train_vs_baseline"] = round(
             per_chip["train"] / A100_EQUIV_TRAIN_IMG_PER_S, 3
         )
+        if flops_img.get("train"):
+            record["train_flops_per_img"] = round(flops_img["train"])
+        if "train" in mfu:
+            record["train_mfu"] = round(mfu["train"], 4)
     if calib:
         record["calib_matmul_tflops"] = round(calib, 1)
     print(json.dumps(record))
