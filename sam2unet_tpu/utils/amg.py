@@ -195,14 +195,16 @@ def remove_small_regions(mask: np.ndarray, area_thresh: float, mode: str):
     assert mode in ("holes", "islands")
     correct_holes = mode == "holes"
     working = (correct_holes ^ mask).astype(np.uint8)
-    labels, counts = label_components_native(working[None, None])
-    labels, counts = labels[0, 0], counts[0, 0]
-    n = int(labels.max())
-    small = [i for i in range(1, n + 1)
-             if 0 < counts[labels == i].flat[0] < area_thresh]
-    if not small:
+    labels, _ = label_components_native(working[None, None])
+    labels = labels[0, 0]
+    # one bincount gives every component's area at once (the old
+    # per-component counts[labels == i] probe was O(components * H * W))
+    areas = np.bincount(labels.ravel())
+    small = (areas > 0) & (areas < area_thresh)
+    small[0] = False  # label 0 is background
+    if not small.any():
         return mask, False
-    fill = np.isin(labels, small)
+    fill = small[labels]
     mask = mask | fill if correct_holes else mask & ~fill
     return mask, True
 
@@ -262,21 +264,31 @@ def batched_nms(boxes: np.ndarray, scores: np.ndarray, idxs: np.ndarray,
     offsets = idxs.astype(np.float32) * max_coord
     shifted = boxes + offsets[:, None]
     order = np.argsort(-scores, kind="stable")
-    keep = []
-    x0, y0, x1, y1 = shifted[:, 0], shifted[:, 1], shifted[:, 2], shifted[:, 3]
+    b = shifted[order]
+    x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
     areas = np.maximum(0, x1 - x0) * np.maximum(0, y1 - y0)
-    suppressed = np.zeros(len(boxes), bool)
-    for i in order:
+    # whole IoU matrix in sorted order, one vectorized pass (the old
+    # per-kept-box loop re-built six O(N) temporaries per survivor); the
+    # greedy pass then only touches precomputed rows. N^2 floats — chunk
+    # the build to bound peak memory at large mask counts.
+    n = len(b)
+    iou = np.empty((n, n), np.float32)
+    chunk = max(1, int(4e7) // max(n, 1))
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        xx0 = np.maximum(x0[s:e, None], x0[None])
+        yy0 = np.maximum(y0[s:e, None], y0[None])
+        xx1 = np.minimum(x1[s:e, None], x1[None])
+        yy1 = np.minimum(y1[s:e, None], y1[None])
+        inter = np.maximum(0, xx1 - xx0) * np.maximum(0, yy1 - yy0)
+        union = areas[s:e, None] + areas[None] - inter
+        iou[s:e] = np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+    suppressed = np.zeros(n, bool)
+    keep = []
+    for i in range(n):
         if suppressed[i]:
             continue
-        keep.append(i)
-        xx0 = np.maximum(x0[i], x0)
-        yy0 = np.maximum(y0[i], y0)
-        xx1 = np.minimum(x1[i], x1)
-        yy1 = np.minimum(y1[i], y1)
-        inter = np.maximum(0, xx1 - xx0) * np.maximum(0, yy1 - yy0)
-        union = areas[i] + areas - inter
-        iou = np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
-        suppressed |= iou > iou_threshold
+        keep.append(order[i])
+        suppressed |= iou[i] > iou_threshold
         suppressed[i] = True
     return np.asarray(keep, np.int64)

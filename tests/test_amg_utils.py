@@ -83,3 +83,51 @@ def test_remove_small_regions_and_uncrop():
     u = uncrop_masks(m[None], [5, 3, 25, 23], 30, 40)
     assert u.shape == (1, 30, 40)
     assert u[0, 2 + 3, 2 + 5] == m[2, 2]
+
+
+def test_nms_matches_naive_greedy_reference():
+    """Vectorized-suppression NMS == textbook per-box greedy NMS."""
+    rng = np.random.default_rng(0)
+    n = 400
+    xy = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    wh = rng.uniform(1, 30, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], axis=1)
+    scores = rng.uniform(size=n).astype(np.float32)
+    idxs = rng.integers(0, 3, n)
+
+    def naive(boxes, scores, idxs, thr):
+        off = idxs.astype(np.float32)[:, None] * (boxes.max() + 1)
+        b = boxes + off
+        order = np.argsort(-scores, kind="stable")
+        x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+        areas = np.maximum(0, x1 - x0) * np.maximum(0, y1 - y0)
+        dead = np.zeros(len(b), bool)
+        keep = []
+        for i in order:
+            if dead[i]:
+                continue
+            keep.append(i)
+            ix0, iy0 = np.maximum(x0[i], x0), np.maximum(y0[i], y0)
+            ix1, iy1 = np.minimum(x1[i], x1), np.minimum(y1[i], y1)
+            inter = np.maximum(0, ix1 - ix0) * np.maximum(0, iy1 - iy0)
+            iou = inter / np.maximum(areas[i] + areas - inter, 1e-9)
+            dead |= iou > thr
+            dead[i] = True
+        return np.asarray(keep, np.int64)
+
+    for thr in (0.3, 0.5, 0.8):
+        got = batched_nms(boxes, scores, idxs, thr)
+        want = naive(boxes, scores, idxs, thr)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_remove_small_regions_threshold_is_exclusive():
+    """areas >= area_thresh survive; bincount path must keep the same
+    strict-inequality semantics as the old per-component probe."""
+    m = np.zeros((16, 16), bool)
+    m[0:2, 0:2] = True   # island of exactly 4 px
+    m[8, 8] = True       # island of 1 px
+    fixed, changed = remove_small_regions(m, area_thresh=4, mode="islands")
+    assert changed
+    assert fixed[0:2, 0:2].all()  # 4 >= 4 kept
+    assert not fixed[8, 8]        # 1 < 4 removed
