@@ -2,19 +2,25 @@
 
 API-compatible re-design of sam2/sam2_video_predictor.py:17-898. The host
 owns the state machine (per-object prompt dicts, cond/non-cond output
-banks, memory selection — all irregular Python); the device work runs
-through a handful of jitted programs over fixed-shape tensors. The memory
-bank is PADDED to fixed slot counts (num_maskmem grids + max_obj_ptrs
-pointer tokens, invalid tokens masked out of the cross-attention softmax),
-so a single compiled program serves every propagated frame from frame 2 on
-— no per-frame recompile warm-up like a naive dynamic-shape port would
-have. Programs:
+banks, memory selection — all irregular Python); the device owns the hot
+state. Two execution paths:
 
-    frame features -> [memory attention over gathered bank] -> SAM heads
-    -> memory encoder
+1. Steady-state propagation (device_resident=True, the default): the
+   memory bank lives in fixed-shape DEVICE arrays (predictors/
+   video_device.py) — a cond bank uploaded once per pass plus ring buffers
+   updated in place by ONE jitted program per frame (uint8 frame upload ->
+   device preprocess -> image encoder -> memory attention over the bank ->
+   SAM heads -> memory encoder -> ring update -> video-res masks). The
+   host computes only gather indices/validity bits per frame; memory bytes
+   never cross the link.
+2. Interactive prompting and the device_resident=False fallback: the
+   memory bank is gathered host-side, PADDED to fixed slot counts
+   (num_maskmem grids + max_obj_ptrs pointer tokens, invalid tokens
+   masked out of the cross-attention softmax), so a single compiled
+   program serves every frame — no per-frame recompile warm-up.
 
-Frames live host-side as numpy (the analog of the reference's CPU offload
-options); features are cached per frame like the reference's `cached_features`.
+Frames live host-side as numpy; features are cached per frame like the
+reference's `cached_features`.
 """
 
 from __future__ import annotations
@@ -63,6 +69,7 @@ class SAM2VideoPredictor:
         non_overlap_masks: bool = False,
         clear_non_cond_mem_around_input: bool = False,
         clear_non_cond_mem_for_multi_obj: bool = False,
+        device_resident: bool = True,
     ):
         self.model = model
         self.variables = variables
@@ -71,6 +78,11 @@ class SAM2VideoPredictor:
         self.non_overlap_masks = non_overlap_masks
         self.clear_non_cond_mem_around_input = clear_non_cond_mem_around_input
         self.clear_non_cond_mem_for_multi_obj = clear_non_cond_mem_for_multi_obj
+        # device-resident steady state: memory bank in fixed-shape device
+        # arrays, ONE jitted program per propagated frame (predictors/
+        # video_device.py). False falls back to the host-gathered bank.
+        self.device_resident = device_resident and self.cfg.num_maskmem > 0
+        self._device_step = None
         self._transforms = SAM2Transforms(resolution=self.cfg.image_size,
                                           mask_threshold=0.0)
 
@@ -130,7 +142,17 @@ class SAM2VideoPredictor:
         async_loading_frames: bool = False,
     ) -> dict:
         """images: (T, H, W, 3) RGB uint8, or video_path: directory of
-        frame JPEG/PNGs (misc.py:163-213 contract)."""
+        frame JPEG/PNGs (misc.py:163-213 contract).
+
+        offload_video_to_cpu: accepted for API parity but always
+        effectively True here — frames live host-side as numpy and are
+        uploaded per tracked frame (the device-resident design keeps the
+        *memory bank*, not the video, in HBM).
+        offload_state_to_cpu: real on the device-resident path — per-frame
+        outputs (mask memory, low-res masks, pointers) are pulled to host
+        numpy eagerly instead of accumulating as device arrays (the
+        reference's storage_device=cpu, sam2_video_predictor.py:801-813;
+        trades HBM growth for per-frame readback)."""
         if images is None:
             from sam2unet_tpu.utils.video import load_video_frames
 
@@ -500,9 +522,15 @@ class SAM2VideoPredictor:
         start_frame_idx: int | None = None,
         max_frame_num_to_track: int | None = None,
         reverse: bool = False,
+        yield_packed_masks: bool = False,
     ):
         """Generator over (frame_idx, obj_ids, video_res_masks)
-        (sam2_video_predictor.py:584-667)."""
+        (sam2_video_predictor.py:584-667). Masks are device arrays at the
+        original video resolution (the reference yields GPU tensors too);
+        np.asarray materializes them. With yield_packed_masks=True the
+        third element is instead a bit-packed uint8 array of (mask > 0)
+        along width — np.unpackbits(m, axis=-1)[..., :W] undoes it — an 8x
+        readback-byte cut for serving consumers that only need booleans."""
         state = inference_state
         self.propagate_in_video_preflight(state)
 
@@ -529,7 +557,19 @@ class SAM2VideoPredictor:
             )
             processing_order = range(start_frame_idx, end_frame_idx + 1)
 
+        bank = None
+        if self.device_resident:
+            from sam2unet_tpu.predictors.video_device import (
+                DeviceMemoryBank,
+                build_device_track_step,
+            )
+
+            bank = DeviceMemoryBank(self, state, output_dict, batch_size)
+            if self._device_step is None:
+                self._device_step = build_device_track_step(self)
+
         for frame_idx in processing_order:
+            device_masks = None
             if frame_idx in state["consolidated_frame_inds"]["cond_frame_outputs"]:
                 storage_key = "cond_frame_outputs"
                 current_out = output_dict[storage_key][frame_idx]
@@ -544,6 +584,17 @@ class SAM2VideoPredictor:
             ]:
                 storage_key = "non_cond_frame_outputs"
                 current_out = output_dict[storage_key][frame_idx]
+                pred_masks = current_out["pred_masks"]
+            elif bank is not None:
+                storage_key = "non_cond_frame_outputs"
+                current_out, device_masks = self._run_device_frame(
+                    state, output_dict, bank, frame_idx, reverse,
+                    yield_packed_masks,
+                )
+                output_dict[storage_key][frame_idx] = current_out
+                self._add_output_per_object(
+                    state, frame_idx, current_out, storage_key
+                )
                 pred_masks = current_out["pred_masks"]
             else:
                 storage_key = "non_cond_frame_outputs"
@@ -564,8 +615,52 @@ class SAM2VideoPredictor:
                 )
                 pred_masks = current_out["pred_masks"]
             state["frames_already_tracked"][frame_idx] = {"reverse": reverse}
-            _, video_res_masks = self._get_orig_video_res_output(state, pred_masks)
+            if device_masks is not None:
+                video_res_masks = device_masks
+            else:
+                _, video_res_masks = self._get_orig_video_res_output(
+                    state, pred_masks
+                )
+                if yield_packed_masks:
+                    video_res_masks = np.packbits(
+                        np.asarray(video_res_masks) > 0, axis=-1
+                    )
             yield frame_idx, state["obj_ids"], video_res_masks
+
+    def _run_device_frame(self, state, output_dict, bank, frame_idx,
+                          reverse, yield_packed_masks):
+        """Track one frame entirely on device: one dispatch, memory bank
+        read/updated in place (no host gather/concat/re-upload —
+        sam2_video_predictor.py:801-813's storage-device design, TPU-first)."""
+        meta = bank.gather_meta(state, output_dict, frame_idx, reverse)
+        frame_u8 = jnp.asarray(
+            np.ascontiguousarray(state["images"][frame_idx])
+        )
+        (bank.grid_ring, bank.ptr_ring, low, video_res, packed, obj_ptr,
+         feats, _) = self._device_step(
+            self.variables, frame_u8, bank.cond_mem, bank.cond_ptr,
+            bank.spatial_penc, bank.grid_ring, bank.ptr_ring,
+            meta["g_idx"], meta["g_tpos"], meta["g_valid"],
+            meta["store_slot"], meta["ptr_store_slot"],
+            p_idx=meta.get("p_idx"), p_tdiff=meta.get("p_tdiff"),
+            p_valid=meta.get("p_valid"), t_diff_max=meta.get("t_diff_max"),
+            pack_masks=yield_packed_masks,
+        )
+        bank.note_tracked(frame_idx)
+        if state["offload_state_to_cpu"]:
+            # the knob is real on this path: outputs leave HBM eagerly
+            low = np.asarray(low)
+            obj_ptr = np.asarray(obj_ptr)
+            feats = np.asarray(feats, np.float32)
+        current_out = {
+            "point_inputs": None,
+            "mask_inputs": None,
+            "pred_masks": low,
+            "obj_ptr": obj_ptr,
+            "maskmem_features": feats,
+            "maskmem_pos_enc": bank.penc_list,
+        }
+        return current_out, (packed if yield_packed_masks else video_res)
 
     def _add_output_per_object(self, state, frame_idx, current_out, storage_key):
         """(sam2_video_predictor.py:669-696)."""

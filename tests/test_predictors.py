@@ -103,7 +103,7 @@ def test_video_predictor_fixed_memory_signature(tiny_sam2):
     from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
 
     model, variables = tiny_sam2
-    pred = SAM2VideoPredictor(model, variables)
+    pred = SAM2VideoPredictor(model, variables, device_resident=False)
     seen = []
     orig = pred._jit_track
 
@@ -130,6 +130,83 @@ def test_video_predictor_fixed_memory_signature(tiny_sam2):
     expected_tokens = cfg.num_maskmem * hw + cfg.max_obj_ptrs_in_encoder * split
     assert seen[0][0][1] == expected_tokens
     assert seen[0][2] == cfg.max_obj_ptrs_in_encoder * split
+
+
+def test_video_device_bank_matches_host_gather_path(tiny_sam2):
+    """The device-resident steady state (fixed-shape device bank, single
+    jitted step, no host gather) must reproduce the host-gathered legacy
+    path: same per-frame video-res masks within float tolerance, and the
+    memory bytes must never cross to the host during propagation."""
+    from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
+
+    model, variables = tiny_sam2
+    rng = np.random.default_rng(7)
+    frames = (rng.random((6, 40, 48, 3)) * 255).astype(np.uint8)
+
+    outs = {}
+    for name, dev in (("legacy", False), ("device", True)):
+        pred = SAM2VideoPredictor(model, variables, device_resident=dev)
+        if dev:
+            calls = {"gather": 0, "step": 0}
+            orig_gather = pred._gather_memory
+            pred._gather_memory = lambda *a, **k: (
+                calls.__setitem__("gather", calls["gather"] + 1)
+                or orig_gather(*a, **k)
+            )
+        state = pred.init_state(images=frames)
+        pred.add_new_points(
+            state, frame_idx=0, obj_id=1,
+            points=np.array([[24.0, 20.0]]), labels=np.array([1]),
+        )
+        outs[name] = {
+            f: np.asarray(m, np.float32)
+            for f, _, m in pred.propagate_in_video(state)
+        }
+        # reverse re-track from mid-video: frame 3 needs frame 4's memory,
+        # which on the device path must be lazily seeded into the ring from
+        # the forward pass's stored outputs
+        outs[name].update({
+            (f, "rev"): np.asarray(m, np.float32)
+            for f, _, m in pred.propagate_in_video(
+                state, start_frame_idx=4, reverse=True
+            )
+        })
+        if dev:
+            assert calls["gather"] == 0  # no host memory gather anywhere
+
+    assert set(outs["legacy"]) == set(outs["device"])
+    for f in outs["legacy"]:
+        np.testing.assert_allclose(
+            outs["device"][f], outs["legacy"][f], rtol=1e-4, atol=2e-4,
+            err_msg=f"frame {f}",
+        )
+
+
+def test_video_packed_mask_yield_matches_float(tiny_sam2):
+    """yield_packed_masks=True returns bit-packed (mask > 0) along width;
+    np.unpackbits must reproduce the float path's binarization."""
+    from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
+
+    model, variables = tiny_sam2
+    rng = np.random.default_rng(8)
+    frames = (rng.random((3, 40, 48, 3)) * 255).astype(np.uint8)
+
+    def run(**kw):
+        pred = SAM2VideoPredictor(model, variables)
+        state = pred.init_state(images=frames)
+        pred.add_new_points(
+            state, frame_idx=0, obj_id=1,
+            points=np.array([[24.0, 20.0]]), labels=np.array([1]),
+        )
+        return {f: np.asarray(m) for f, _, m in
+                pred.propagate_in_video(state, **kw)}
+
+    dense = run()
+    packed = run(yield_packed_masks=True)
+    for f in dense:
+        want = dense[f] > 0
+        got = np.unpackbits(packed[f], axis=-1)[..., : want.shape[-1]]
+        np.testing.assert_array_equal(got.astype(bool), want, err_msg=str(f))
 
 
 def test_video_predictor_mask_input_and_multi_object(tiny_sam2):
