@@ -157,6 +157,7 @@ def main(args) -> None:
               f"({n_imgs / max(dt, 1e-9):.2f} img/s)")
 
         print("Evaluating", end="")
+        t_eval = _time.perf_counter()
         eval_vars = state.variables()
         if not args.full_eval:
             from sam2unet_tpu.eval.metrics_device import batched_semantic_metrics
@@ -198,6 +199,10 @@ def main(args) -> None:
                     if (bi * eval_bs + j) % 10 == 0:
                         print(".", end="", flush=True)
             final_result = evaluate_dataset(results)
+        dt_eval = _time.perf_counter() - t_eval
+        print(f"\nepoch-{epoch + 1} eval: {final_result['images_count']} imgs "
+              f"in {dt_eval:.1f}s "
+              f"({'host' if args.full_eval else 'device'} path)")
         epoch_name = f"epoch-{epoch + 1}_loss-{epoch_loss:.3f}"
         print_eval_report(final_result, title=epoch_name, log_path=log_path)
         saved = policy.maybe_save(
