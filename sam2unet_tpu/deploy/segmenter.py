@@ -6,6 +6,8 @@ un-pad, sigmoid, resize to input resolution, threshold 0.1 -> uint8 mask.
 
 Backends:
   - "stablehlo": serialized jax.export artifact (the TPU-native ONNX analog)
+  - "tf": TensorFlow SavedModel (interop/export.export_tf_savedmodel),
+    runnable + verified on this image
   - "onnx": onnxruntime session (gated; not installed on this image)
   - "openvino": stub that raises, mirroring test_onnx.py:104-120
 """
@@ -35,6 +37,16 @@ class ModelMixin:
             from sam2unet_tpu.interop.export import load_exported
 
             self.model = load_exported(model_path)
+        elif backend == "tf":
+            try:
+                import tensorflow as tf
+            except ImportError as e:
+                raise ImportError("tensorflow not available") from e
+            loaded = tf.saved_model.load(model_path)
+            self.model = lambda x: {
+                k: np.asarray(v)
+                for k, v in loaded.f(tf.constant(np.asarray(x))).items()
+            }
         elif backend == "onnx":
             try:
                 import onnxruntime as ort

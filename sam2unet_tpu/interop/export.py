@@ -1,13 +1,18 @@
 """Model export + parity verification.
 
 The reference ships ONNX export with numeric parity checks
-(convert_onnx.py:20-107). The TPU-native deployment artifact here is a
-serialized `jax.export` StableHLO function — portable across CPU/TPU,
-loadable without the framework — with the same output-name contract
-("output", "output_1", "output_2" = out, out1, out2). ONNX export
-(export_onnx, jax2tf -> tf2onnx) is implemented but requires optional
-tooling (tensorflow + tf2onnx + onnx) that is absent from this image; on
-this image StableHLO is the only runnable export format.
+(convert_onnx.py:20-107). Export formats here, same output-name contract
+("output", "output_1", "output_2" = out, out1, out2) throughout:
+
+- StableHLO (`jax.export`): the TPU-native deployment artifact — portable
+  across CPU/TPU, loadable without the framework. Runnable + verified.
+- TF SavedModel (jax2tf): the executable first leg of the reference's
+  ONNX path; runnable + parity-verified on this image (tensorflow is
+  present). `deploy/segmenter.py` can serve it (backend="tf").
+- ONNX (`export_onnx`, jax2tf -> tf2onnx): implemented, but the final
+  serialization needs tf2onnx + onnx which are absent from this image —
+  the test suite runs the full path wherever that tooling exists and
+  asserts the documented ImportError contract here.
 """
 
 from __future__ import annotations
@@ -78,6 +83,58 @@ def verify_export(model, variables: dict, size: int, path: str,
         np.testing.assert_allclose(got, np.asarray(ref), rtol=rtol, atol=atol)
         max_diff = max(max_diff, float(np.abs(got - np.asarray(ref)).max()))
     del jax
+    return max_diff
+
+
+def export_tf_savedmodel(model, variables: dict, size: int, path: str):
+    """TensorFlow SavedModel export via jax2tf — the executable first leg
+    of the reference's ONNX deployment contract (convert_onnx.py:25-34):
+    input name "images", dict outputs named ``OUTPUT_NAMES``. This leg
+    runs and is parity-verified on this image (tensorflow is present);
+    the final tf2onnx serialization still needs tooling this image lacks
+    (export_onnx below)."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    from sam2unet_tpu.ops.pallas import dispatch
+
+    def fwd(x):
+        out, out1, out2 = model.apply(variables, x, train=False)
+        return dict(zip(OUTPUT_NAMES, (out, out1, out2)))
+
+    with dispatch.force_xla():  # portable graph, no Mosaic custom calls
+        conv = jax2tf.convert(fwd, with_gradient=False)
+        module = tf.Module()
+        module.f = tf.function(
+            conv,
+            autograph=False,
+            input_signature=[
+                tf.TensorSpec((1, size, size, 3), tf.float32, name="images")
+            ],
+        )
+        tf.saved_model.save(module, path)
+
+
+def verify_tf_savedmodel(model, variables: dict, size: int, path: str,
+                         rtol: float = 1e-1, atol: float = 1e-1) -> float:
+    """Load the SavedModel back with TensorFlow, run it, and compare every
+    named output against the native forward (convert_onnx.py:69-107
+    semantics: assert_allclose at 1e-1, report max abs diff)."""
+    import jax
+    import tensorflow as tf
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, size, size, 3)).astype(np.float32)
+    native = jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False)
+    )(variables, x)
+    loaded = tf.saved_model.load(path)
+    got = loaded.f(tf.constant(x))
+    max_diff = 0.0
+    for name, ref in zip(OUTPUT_NAMES, native):
+        g = np.asarray(got[name])
+        np.testing.assert_allclose(g, np.asarray(ref), rtol=rtol, atol=atol)
+        max_diff = max(max_diff, float(np.abs(g - np.asarray(ref)).max()))
     return max_diff
 
 

@@ -79,3 +79,53 @@ def test_deploy_segmenter(tiny_model, tmp_path):
     assert mask.dtype == np.uint8
     assert set(np.unique(mask)) <= {0, 255}
     assert seg.last_process_time >= 0.0
+
+
+def test_tf_savedmodel_export_runs(tiny_model, tmp_path):
+    """The jax2tf leg of the ONNX deployment contract, executed for real:
+    export a TF SavedModel, load it back with TensorFlow, run it, and
+    verify output names + numerics against the native forward."""
+    pytest.importorskip("tensorflow")
+    from sam2unet_tpu.interop.export import (
+        OUTPUT_NAMES,
+        export_tf_savedmodel,
+        verify_tf_savedmodel,
+    )
+
+    model, variables = tiny_model
+    path = str(tmp_path / "saved_model")
+    export_tf_savedmodel(model, variables, 64, path)
+    diff = verify_tf_savedmodel(model, variables, 64, path)
+    assert diff < 1e-3  # far tighter than the reference's 1e-1 gate
+
+    import tensorflow as tf
+
+    loaded = tf.saved_model.load(path)
+    out = loaded.f(tf.zeros((1, 64, 64, 3)))
+    assert set(out) == set(OUTPUT_NAMES)
+    assert tuple(out["output"].shape) == (1, 64, 64, 1)
+
+
+def test_deploy_segmenter_tf_backend_matches_stablehlo(tiny_model, tmp_path):
+    """The segmenter's 'tf' backend (SavedModel) must produce the same
+    uint8 mask as the StableHLO backend for the same weights."""
+    pytest.importorskip("tensorflow")
+    from sam2unet_tpu.deploy.segmenter import SamUnetSegmenter
+    from sam2unet_tpu.interop.export import (
+        export_stablehlo,
+        export_tf_savedmodel,
+    )
+
+    model, variables = tiny_model
+    p_hlo = str(tmp_path / "model.stablehlo")
+    p_tf = str(tmp_path / "saved_model")
+    export_stablehlo(model, variables, 64, p_hlo, platforms=("cpu",))
+    export_tf_savedmodel(model, variables, 64, p_tf)
+
+    rng = np.random.default_rng(1)
+    image = (rng.random((50, 70, 3)) * 255).astype(np.uint8)
+    m_hlo = SamUnetSegmenter(p_hlo, input_size=64,
+                             backend="stablehlo").segment(image)
+    m_tf = SamUnetSegmenter(p_tf, input_size=64, backend="tf").segment(image)
+    assert m_tf.shape == (50, 70) and m_tf.dtype == np.uint8
+    np.testing.assert_array_equal(m_tf, m_hlo)
