@@ -1,0 +1,254 @@
+"""Dual-train end-to-end accuracy proxy.
+
+The BASELINE.json accuracy gate (<= 0.003 mDice vs the reference on
+CVC-300/CAMO with published weights) is environment-blocked: no checkpoints
+on disk, no egress. The strongest obtainable evidence is to train BOTH
+frameworks — the in-place torch reference (tests/ref_loader.py) and this
+one — from an IDENTICAL initialization on IDENTICAL data with the
+reference's schedule (train.py:32-149 semantics: AdamW + per-epoch
+CosineAnnealingLR, 3x structure loss, per-epoch eval), then compare the
+full evaluation report end to end.
+
+Controlled to be a pure framework A/B:
+- init: one seeded torch init, converted to flax via interop/torch_convert
+  (the converter is separately parity-tested at the forward level);
+- data: deterministic synthetic discs, pre-letterboxed (square), normalized
+  once in numpy and fed to both frameworks byte-identically, fixed batch
+  order, no augmentation;
+- eval: the reference's own test-loop postprocess (train.py:101-112 —
+  sigmoid, min-max normalize, uint8) then this framework's evaluator
+  (eval/metrics.py, byte-compatible with reference eval.py report).
+
+Known benign divergences: BN running-var bias convention (torch unbiased
+vs flax biased) and f32 op ordering — both sub-1e-3 scale effects.
+
+Usage: python scripts/dual_train_proxy.py [--size 128 --epochs 3 ...]
+Writes docs/DUAL_TRAIN.md. Forces the CPU backend (torch has no TPU here;
+same-arithmetic fairness).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def make_data(n: int, size: int, seed: int):
+    """Deterministic disc-on-noise images + masks, already square
+    (letterbox-free so both data paths are bypassed identically)."""
+    rng = np.random.default_rng(seed)
+    imgs = np.empty((n, size, size, 3), np.float32)
+    masks = np.empty((n, size, size, 1), np.float32)
+    yy, xx = np.mgrid[:size, :size]
+    for i in range(n):
+        img = rng.random((size, size, 3)) * 255
+        cy, cx = rng.integers(size // 4, 3 * size // 4, 2)
+        rad = rng.integers(size // 8, size // 4)
+        m = ((yy - cy) ** 2 + (xx - cx) ** 2) < rad**2
+        img[m] = img[m] * 0.25 + 190
+        imgs[i] = img
+        masks[i, ..., 0] = m
+    norm = (imgs / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    return norm.astype(np.float32), masks
+
+
+def ref_structure_loss(pred, mask):
+    """Oracle for the reference's actual loss semantics (train.py:21-29):
+    the legacy reduce kwarg collapses the BCE weighting to a scalar mean."""
+    import torch
+    import torch.nn.functional as TF
+
+    weit = 1 + 5 * torch.abs(
+        TF.avg_pool2d(mask, kernel_size=31, stride=1, padding=15) - mask
+    )
+    bce = TF.binary_cross_entropy_with_logits(pred, mask, reduction="mean")
+    wbce = (weit * bce).sum(dim=(2, 3)) / weit.sum(dim=(2, 3))
+    p = torch.sigmoid(pred)
+    inter = (p * mask * weit).sum(dim=(2, 3))
+    union = ((p + mask) * weit).sum(dim=(2, 3))
+    wiou = 1 - (inter + 1) / (union - inter + 1)
+    return (wbce + wiou).mean()
+
+
+def postprocess(logits: np.ndarray) -> np.ndarray:
+    """Reference test-loop postprocess (train.py:109-112): sigmoid ->
+    min-max normalize -> uint8. logits: (H, W) float."""
+    res = 1.0 / (1.0 + np.exp(-logits.astype(np.float64)))
+    res = (res - res.min()) / (res.max() - res.min() + 1e-8)
+    return (res * 255).astype(np.uint8)
+
+
+def train_torch(x_tr, y_tr, x_te, y_te, epochs, batch, lr, wd, seed):
+    import torch
+
+    from tests.ref_loader import load_ref_sam2unet_class
+
+    torch.manual_seed(seed)
+    cls = load_ref_sam2unet_class()
+    model = cls(checkpoint_path="")
+    from tests.ref_loader import state_dict_numpy
+
+    # deep-copy: state_dict_numpy returns VIEWS of the live tensors, and
+    # AdamW mutates them in place — without the copy the jax run would
+    # start from torch's final weights instead of the shared init
+    init_sd = {k: v.copy() for k, v in state_dict_numpy(model).items()}
+
+    # reference train.py:48-54: AdamW over model.parameters() (frozen trunk
+    # params produce no grads, so AdamW skips them), per-epoch cosine
+    opt = torch.optim.AdamW(model.parameters(), lr, weight_decay=wd)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=epochs, eta_min=1e-7
+    )
+    xt = torch.from_numpy(x_tr.transpose(0, 3, 1, 2))
+    yt = torch.from_numpy(y_tr.transpose(0, 3, 1, 2))
+    losses = []
+    for _ in range(epochs):
+        model.train()
+        ep = []
+        for b in range(0, len(xt), batch):
+            opt.zero_grad()
+            out, out1, out2 = model(xt[b : b + batch])
+            tgt = yt[b : b + batch]
+            loss = (
+                ref_structure_loss(out, tgt)
+                + ref_structure_loss(out1, tgt)
+                + ref_structure_loss(out2, tgt)
+            )
+            loss.backward()
+            opt.step()
+            ep.append(float(loss))
+        sched.step()
+        losses.append(float(np.mean(ep)))
+
+    model.eval()
+    preds = []
+    with torch.no_grad():
+        for i in range(len(x_te)):
+            out = model(
+                torch.from_numpy(x_te[i : i + 1].transpose(0, 3, 1, 2))
+            )[0]
+            preds.append(postprocess(out[0, 0].numpy()))
+    return init_sd, losses, preds
+
+
+def train_jax(init_sd, x_tr, y_tr, x_te, y_te, epochs, batch, lr, wd):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from sam2unet_tpu.configs import HIERA_S, SAM2UNetConfig
+    from sam2unet_tpu.interop.torch_convert import convert_state_dict
+    from sam2unet_tpu.models.sam2unet import SAM2UNet
+    from sam2unet_tpu.train.engine import create_train_state, make_train_step
+    from sam2unet_tpu.train.optim import make_optimizer
+
+    model = SAM2UNet(SAM2UNetConfig(trunk=HIERA_S))
+    variables = convert_state_dict(init_sd)
+    steps_per_epoch = -(-len(x_tr) // batch)
+    optimizer = make_optimizer(
+        lr=lr, weight_decay=wd, epochs=epochs, steps_per_epoch=steps_per_epoch
+    )
+    state = create_train_state(variables, optimizer)
+    step = make_train_step(model, optimizer)
+
+    losses = []
+    for _ in range(epochs):
+        ep = []
+        for b in range(0, len(x_tr), batch):
+            state, metrics = step(
+                state,
+                jnp.asarray(x_tr[b : b + batch]),
+                jnp.asarray(y_tr[b : b + batch]),
+            )
+            ep.append(float(metrics["loss"]))
+        losses.append(float(np.mean(ep)))
+
+    eval_vars = state.variables()
+    apply = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+    preds = []
+    for i in range(len(x_te)):
+        out = apply(eval_vars, jnp.asarray(x_te[i : i + 1]))
+        preds.append(postprocess(np.asarray(out)[0, ..., 0]))
+    return losses, preds
+
+
+def evaluate(preds, y_te):
+    from sam2unet_tpu.eval.metrics import (
+        evaluate_dataset,
+        evaluate_segmentation_performance,
+    )
+
+    gts = [(y[..., 0] * 255).astype(np.uint8) for y in y_te]
+    return evaluate_dataset(
+        [evaluate_segmentation_performance(p, g) for p, g in zip(preds, gts)]
+    )
+
+
+def run_proxy(size=128, epochs=3, batch=4, n_train=16, n_test=8,
+              lr=1e-3, wd=5e-4, seed=0):
+    x_tr, y_tr = make_data(n_train, size, seed)
+    x_te, y_te = make_data(n_test, size, seed + 1)
+    init_sd, t_losses, t_preds = train_torch(
+        x_tr, y_tr, x_te, y_te, epochs, batch, lr, wd, seed
+    )
+    j_losses, j_preds = train_jax(
+        init_sd, x_tr, y_tr, x_te, y_te, epochs, batch, lr, wd
+    )
+    return {
+        "torch": {"losses": t_losses, "report": evaluate(t_preds, y_te)},
+        "jax": {"losses": j_losses, "report": evaluate(j_preds, y_te)},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--n_train", type=int, default=16)
+    ap.add_argument("--n_test", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default="docs/DUAL_TRAIN.md")
+    args = ap.parse_args()
+
+    res = run_proxy(args.size, args.epochs, args.batch, args.n_train,
+                    args.n_test, args.lr)
+    tr, jr = res["torch"]["report"], res["jax"]["report"]
+    lines = [
+        "# Dual-train accuracy proxy",
+        "",
+        "Identical init (one seeded torch init, converted), identical data",
+        f"({args.n_train} train / {args.n_test} test synthetic discs at "
+        f"{args.size}x{args.size}), identical schedule "
+        f"(AdamW lr={args.lr}, wd 5e-4, per-epoch cosine, "
+        f"{args.epochs} epochs, batch {args.batch}), no augmentation, CPU "
+        "f32 both. Generated by `python scripts/dual_train_proxy.py`.",
+        "",
+        "| epoch | torch loss | jax loss | delta |",
+        "|---|---|---|---|",
+    ]
+    for i, (a, b) in enumerate(zip(res["torch"]["losses"],
+                                   res["jax"]["losses"])):
+        lines.append(f"| {i + 1} | {a:.4f} | {b:.4f} | {abs(a - b):.4f} |")
+    lines += ["", "| metric | torch ref | this framework | delta |",
+              "|---|---|---|---|"]
+    for k in sorted(set(tr) | set(jr)):
+        a, b = float(tr[k]), float(jr[k])
+        lines.append(f"| {k} | {a:.4f} | {b:.4f} | {abs(a - b):.4f} |")
+    out = pathlib.Path(args.out)
+    out.write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(f"\nwritten to {out}")
+
+
+if __name__ == "__main__":
+    main()
