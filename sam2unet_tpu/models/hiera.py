@@ -128,6 +128,14 @@ class MultiScaleBlock(nn.Module):
     # requires_grad_(False)): block weights are wrapped in stop_gradient and
     # the fused kernels skip weight-grad computation entirely.
     frozen: bool = False
+    # sequence parallelism for global-attention blocks (window_size == 0):
+    # inside a shard_map whose mesh has `sp_axis` of size `sp_degree`, each
+    # device computes its token slice of the full-grid attention via ring
+    # attention (ops/sp_attention) and the outputs are all-gathered back —
+    # the only full-sequence attention in the trunk splits n ways over ICI
+    # instead of being replicated (SURVEY §2.4 headroom, engaged).
+    sp_axis: str | None = None
+    sp_degree: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -142,6 +150,34 @@ class MultiScaleBlock(nn.Module):
         h, w = x.shape[1], x.shape[2]
         window = self.window_size
 
+        use_sp = (
+            self.sp_axis is not None
+            and window == 0
+            and self.dim == self.dim_out
+            and (h * w) % self.sp_degree == 0
+        )
+        if use_sp:
+            from jax import lax
+
+            from sam2unet_tpu.ops.sp_attention import ring_sdpa
+
+            xn = layer_norm(self.dtype, name="norm1")(x)
+            qkv = attn.project_qkv(xn)
+            q, k, v = attn._split_heads(qkv, None)
+            b = x.shape[0]
+            sl = (h * w) // self.sp_degree
+            i0 = lax.axis_index(self.sp_axis) * sl
+            o_loc = ring_sdpa(
+                lax.dynamic_slice_in_dim(q, i0, sl, 1),
+                lax.dynamic_slice_in_dim(k, i0, sl, 1),
+                lax.dynamic_slice_in_dim(v, i0, sl, 1),
+                self.sp_axis,
+            )
+            o = lax.all_gather(o_loc, self.sp_axis, axis=1, tiled=True)
+            y = attn.project_out(o.reshape(b, h, w, -1))
+            dp = DropPath(self.drop_path, name="drop_path")
+            x = shortcut + dp(y, train)
+
         # Dim-preserving blocks run as ONE Pallas program per window group:
         # LN -> QKV -> attention (synthetic pad key for remainder groups) ->
         # proj -> residual, everything between x-in and y-out stays in VMEM
@@ -150,7 +186,7 @@ class MultiScaleBlock(nn.Module):
         # path pads: divisible grids partition cleanly, remainder grids use
         # valid-token groups). With an active DropPath the residual is kept
         # outside the kernel.
-        if self.dim == self.dim_out:
+        elif self.dim == self.dim_out:
             assert self.q_stride is None, "q-pool implies a dim change"
             from sam2unet_tpu.ops.pallas.fused_attention_block import (
                 fused_window_block,
@@ -328,6 +364,11 @@ class Hiera(nn.Module):
     use_adapters: bool = False
     adapter_dim: int = 32
     remat: bool = False
+    # sequence parallelism for the global-attention blocks: set to a mesh
+    # axis name (+ its size) when calling inside a shard_map over that axis
+    # (see MultiScaleBlock.sp_axis and ops/sp_attention.py)
+    sp_axis: str | None = None
+    sp_degree: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -354,6 +395,9 @@ class Hiera(nn.Module):
 
         outputs = []
         for i, bk in enumerate(_block_plan(cfg)):
+            if self.sp_axis is not None and bk["window_size"] == 0:
+                bk = dict(**bk, sp_axis=self.sp_axis,
+                          sp_degree=self.sp_degree)
             if self.use_adapters:
                 # adapters imply the fork's hard trunk freeze
                 # (SAM2UNet.py:52-65): block weights get stop_gradient and
