@@ -204,6 +204,9 @@ def main() -> None:
     p.add_argument("--size", type=int, default=352)
     p.add_argument("--model_cfg", type=str, default="sam2_hiera_l")
     p.add_argument("--no_calibrate", action="store_true")
+    p.add_argument("--fold_bn", action="store_true",
+                   help="fold BatchNorms into conv kernels before the "
+                        "inference bench (nn/fold_bn.py A/B)")
     args = p.parse_args()
 
     from sam2unet_tpu.utils.jax_setup import setup_jax
@@ -227,6 +230,11 @@ def main() -> None:
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), x, train=False
     )
+    if args.fold_bn:
+        assert args.mode == "infer", "BN folding is inference-only"
+        from sam2unet_tpu.nn.fold_bn import fold_batchnorm
+
+        variables = fold_batchnorm(variables)
 
     rt = _roundtrip_seconds(jax, jnp)
     calib = 0.0
