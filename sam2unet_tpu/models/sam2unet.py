@@ -142,13 +142,19 @@ class SAM2UNet(nn.Module):
     # SyncBN axis name for shard_map dp (engine.make_train_step
     # use_shard_map=True); None under plain jit/GSPMD
     bn_axis: str | None = None
+    # sequence-parallel global attention over a mesh axis inside shard_map
+    # (models/hiera.py sp_axis, ops/sp_attention.py)
+    sp_axis: str | None = None
+    sp_degree: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         c = self.cfg
         feats = Hiera(c.trunk, use_adapters=True, adapter_dim=c.adapter_dim,
-                      remat=self.remat, dtype=self.dtype, name="encoder")(x, train)
+                      remat=self.remat, sp_axis=self.sp_axis,
+                      sp_degree=self.sp_degree, dtype=self.dtype,
+                      name="encoder")(x, train)
         x1, x2, x3, x4 = feats  # strides 4, 8, 16, 32
 
         ba = self.bn_axis

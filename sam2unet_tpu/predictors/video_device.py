@@ -186,6 +186,8 @@ class DeviceMemoryBank:
             else:
                 ptr_cond = list(selected_cond)
             for t in ptr_cond:
+                if k >= len(p_idx):
+                    break  # more cond frames than pointer slots
                 p_idx[k] = self.cond_frames.index(t)
                 p_tdiff[k] = abs(frame_idx - t)
                 p_valid[k] = True

@@ -126,3 +126,28 @@ def test_hiera_global_block_sequence_parallel_matches_dense(mesh):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=2e-5, atol=2e-5
         )
+
+
+def test_sam2unet_sp_param_structure_matches_dense():
+    """SP is a pure execution-strategy flag: a dense-initialized
+    variables tree must apply unchanged to the SP-enabled model (so
+    checkpoints interchange)."""
+    from sam2unet_tpu.configs import HIERA_TEST, SAM2UNetConfig
+    from sam2unet_tpu.models.sam2unet import SAM2UNet
+
+    dense = SAM2UNet(SAM2UNetConfig(trunk=HIERA_TEST, rfb_out=8))
+    sp = SAM2UNet(SAM2UNetConfig(trunk=HIERA_TEST, rfb_out=8),
+                  sp_axis="model", sp_degree=2)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v_dense = jax.jit(dense.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False
+    )
+    # HIERA_TEST's global block is a dim-change block, so the SP branch
+    # never engages outside shard_map here — but the init structures must
+    # match regardless of the flag
+    v_sp = jax.jit(sp.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False
+    )
+    assert jax.tree_util.tree_structure(v_dense) == (
+        jax.tree_util.tree_structure(v_sp)
+    )
