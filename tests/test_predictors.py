@@ -278,3 +278,45 @@ def test_amg_generates_records(tiny_sam2):
         assert set(r) >= {"segmentation", "area", "bbox", "predicted_iou",
                           "point_coords", "stability_score", "crop_box"}
         assert r["segmentation"].shape == (40, 40)
+
+
+def test_video_device_bank_interactive_correction_and_clearing(tiny_sam2):
+    """Re-prompting mid-video after propagation (cond count grows -> the
+    device bank reshapes) and clear_non_cond_mem_around_input (entries
+    vanish from output_dict -> bank validity must follow) both keep the
+    device path running and matching the legacy path."""
+    from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
+
+    model, variables = tiny_sam2
+    rng = np.random.default_rng(11)
+    frames = (rng.random((6, 40, 48, 3)) * 255).astype(np.uint8)
+
+    outs = {}
+    for name, dev in (("legacy", False), ("device", True)):
+        pred = SAM2VideoPredictor(
+            model, variables, device_resident=dev,
+            clear_non_cond_mem_around_input=True,
+        )
+        state = pred.init_state(images=frames)
+        pred.add_new_points(
+            state, frame_idx=0, obj_id=1,
+            points=np.array([[24.0, 20.0]]), labels=np.array([1]),
+        )
+        list(pred.propagate_in_video(state))
+        # correction on frame 3 -> second cond frame; nearby non-cond
+        # memories are cleared in preflight
+        pred.add_new_points(
+            state, frame_idx=3, obj_id=1,
+            points=np.array([[30.0, 22.0]]), labels=np.array([1]),
+        )
+        outs[name] = {
+            f: np.asarray(m, np.float32)
+            for f, _, m in pred.propagate_in_video(state)
+        }
+
+    assert set(outs["legacy"]) == set(outs["device"]) == {0, 1, 2, 3, 4, 5}
+    for f in outs["legacy"]:
+        np.testing.assert_allclose(
+            outs["device"][f], outs["legacy"][f], rtol=1e-4, atol=2e-4,
+            err_msg=f"frame {f}",
+        )
