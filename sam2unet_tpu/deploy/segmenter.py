@@ -8,7 +8,8 @@ Backends:
   - "stablehlo": serialized jax.export artifact (the TPU-native ONNX analog)
   - "tf": TensorFlow SavedModel (interop/export.export_tf_savedmodel),
     runnable + verified on this image
-  - "onnx": onnxruntime session (gated; not installed on this image)
+  - "onnx": onnxruntime session when installed, else the in-repo numpy
+    ONNX runtime (deploy/onnx_numpy.py) — runnable + verified on this image
   - "openvino": stub that raises, mirroring test_onnx.py:104-120
 """
 
@@ -50,9 +51,18 @@ class ModelMixin:
         elif backend == "onnx":
             try:
                 import onnxruntime as ort
-            except ImportError as e:
-                raise ImportError("onnxruntime not available") from e
-            self._session = ort.InferenceSession(model_path)
+
+                self._session = ort.InferenceSession(model_path)
+            except ImportError:
+                # no onnxruntime on this image: execute the graph with the
+                # in-repo numpy ONNX runtime (same session API surface)
+                from sam2unet_tpu.deploy.onnx_numpy import NumpyOnnxRunner
+
+                self._session = NumpyOnnxRunner(model_path)
+            info = self._session.get_inputs()[0]
+            self._onnx_input = info.name
+            # torch-exported graphs are NCHW; framework exports are NHWC
+            self._onnx_nchw = len(info.shape) == 4 and info.shape[1] == 3
             self.model = self._run_onnx
         elif backend == "openvino":
             raise NotImplementedError("OpenVINO backend is not supported")
@@ -61,8 +71,12 @@ class ModelMixin:
         self.backend = backend
 
     def _run_onnx(self, x):
-        outs = self._session.run(None, {"images": np.asarray(x)})
-        return {"output": outs[0], "output_1": outs[1], "output_2": outs[2]}
+        x = np.asarray(x)
+        if self._onnx_nchw and x.ndim == 4 and x.shape[-1] == 3:
+            x = x.transpose(0, 3, 1, 2)
+        outs = self._session.run(None, {self._onnx_input: x})
+        names = ["output"] + [f"output_{i}" for i in range(1, len(outs))]
+        return dict(zip(names, outs))
 
     def run(self, x: np.ndarray) -> dict:
         if self.model is None:

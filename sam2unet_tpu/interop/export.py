@@ -13,6 +13,13 @@ The reference ships ONNX export with numeric parity checks
   serialization needs tf2onnx + onnx which are absent from this image —
   the test suite runs the full path wherever that tooling exists and
   asserts the documented ImportError contract here.
+- ONNX via the torch bridge (`export_onnx_via_torch`): loads framework
+  weights into a caller-supplied torch SAM2-UNet module
+  (interop.torch_convert.flax_to_torch_state_dict) and drives
+  torch.onnx.export — with interop.onnx_compat standing in for the absent
+  `onnx` package — then verifies the artifact against the framework's own
+  forward with the numpy ONNX runtime (deploy/onnx_numpy.py). This is the
+  path that actually produces + verifies a .onnx file on this image.
 """
 
 from __future__ import annotations
@@ -135,6 +142,72 @@ def verify_tf_savedmodel(model, variables: dict, size: int, path: str,
         g = np.asarray(got[name])
         np.testing.assert_allclose(g, np.asarray(ref), rtol=rtol, atol=atol)
         max_diff = max(max_diff, float(np.abs(g - np.asarray(ref)).max()))
+    return max_diff
+
+
+def export_onnx_via_torch(torch_module, variables: dict, size: int,
+                          path: str, opset: int = 16) -> None:
+    """Produce a .onnx artifact from framework weights via torch.onnx.
+
+    ``torch_module`` is a torch implementation of SAM2-UNet (e.g. the
+    upstream module); its state dict is overwritten with the framework
+    ``variables`` through the strict key-driven converter, then exported
+    with the TorchScript exporter. interop.onnx_compat supplies the `onnx`
+    module when the real package is absent (the exporter only needs
+    ModelProto parsing for its onnxscript post-pass). Output names follow
+    the reference contract (convert_onnx.py:25-34): input "images",
+    outputs ``OUTPUT_NAMES``.
+    """
+    import torch
+
+    from sam2unet_tpu.interop import onnx_compat
+    from sam2unet_tpu.interop.torch_convert import flax_to_torch_state_dict
+
+    onnx_compat.get_onnx()
+    keys = list(torch_module.state_dict().keys())
+    sd = flax_to_torch_state_dict(variables, keys)
+    torch_module.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    torch_module.eval()
+    x = torch.zeros(1, 3, size, size)
+    with torch.no_grad():
+        torch.onnx.export(
+            torch_module, x, path, opset_version=opset, dynamo=False,
+            input_names=["images"], output_names=list(OUTPUT_NAMES),
+        )
+
+
+def verify_onnx(model, variables: dict, size: int, path: str,
+                rtol: float = 5e-4, atol: float = 5e-4) -> float:
+    """Run the exported .onnx with the numpy ONNX runtime and compare every
+    output against the framework's own forward (the reference's ORT parity
+    check, convert_onnx.py:69-107, without requiring onnxruntime)."""
+    import jax
+
+    from sam2unet_tpu.deploy.onnx_numpy import NumpyOnnxRunner
+    from sam2unet_tpu.ops.pallas import dispatch
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, size, size, 3), np.float32)
+    with dispatch.force_xla():
+        native = jax.jit(
+            lambda v, x: model.apply(v, x, train=False)
+        )(variables, x)
+    runner = NumpyOnnxRunner(path)
+    # torch graphs take NCHW; the framework is NHWC
+    in_shape = runner.get_inputs()[0].shape
+    nchw = len(in_shape) == 4 and in_shape[1] == 3
+    got = runner(x.transpose(0, 3, 1, 2) if nchw else x)
+    max_diff = 0.0
+    for name, ref in zip(OUTPUT_NAMES, native):
+        g = np.asarray(got[name], np.float32)
+        ref = np.asarray(ref, np.float32)
+        if g.shape != ref.shape and g.ndim == 4:  # NCHW -> NHWC
+            g = g.transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(g, ref, rtol=rtol, atol=atol)
+        max_diff = max(max_diff, float(np.abs(g - ref).max()))
     return max_diff
 
 

@@ -164,6 +164,81 @@ def convert_state_dict(
     return tree
 
 
+def _get(tree: dict, path: tuple[str, ...]):
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def flax_to_torch_state_dict(
+    variables: dict,
+    torch_keys: list[str],
+    wrap_blocks: bool = False,
+) -> dict[str, np.ndarray]:
+    """Inverse of convert_state_dict: framework variables -> a torch state
+    dict covering `torch_keys` (the target module's state_dict().keys()).
+
+    Driving the mapping from the torch key list reuses the exact forward
+    path/transform rules, so the two directions cannot drift apart. Layout
+    inverses: flax Conv kernel (kh, kw, I, O) -> (O, I, kh, kw); Dense
+    (I, O) -> (O, I); pos embeds (1, H, W, C) -> (1, C, H, W); BN
+    mean/var -> running_*; num_batches_tracked is synthesized as 0.
+    Raises KeyError for any torch key with no converted counterpart.
+    """
+    params = variables.get("params", {})
+    batch_stats = variables.get("batch_stats", {})
+    out: dict[str, np.ndarray] = {}
+    for key in torch_keys:
+        name_key = key
+        for suffix in (".weight", ".bias", ".running_mean", ".running_var",
+                       ".num_batches_tracked"):
+            if name_key.endswith(suffix):
+                name_key = name_key[: -len(suffix)]
+                break
+        path = _to_flax_path(name_key)
+        if wrap_blocks:
+            new_path: list[str] = []
+            for j, x in enumerate(path):
+                new_path.append(x)
+                if x.startswith("blocks_") and path[j + 1 : j + 2] != ("block",):
+                    new_path.append("block")
+            path = tuple(new_path)
+        if key.endswith(".num_batches_tracked"):
+            out[key] = np.asarray(0, np.int64)
+            continue
+        if key.endswith(".running_mean"):
+            value = _get(batch_stats, path + ("mean",))
+        elif key.endswith(".running_var"):
+            value = _get(batch_stats, path + ("var",))
+        elif key.endswith(".weight"):
+            value = _get(params, path + ("kernel",))
+            if value is not None:
+                value = (
+                    np.asarray(value).transpose(3, 2, 0, 1)
+                    if np.ndim(value) == 4
+                    else np.asarray(value).T
+                )
+            else:
+                value = _get(params, path + ("scale",))  # BN / LayerNorm
+                if value is None:
+                    value = _get(params, path)  # raw embedding ".weight"
+        elif key.endswith(".bias"):
+            value = _get(params, path + ("bias",))
+        else:
+            value = _get(params, path)
+            if value is not None and (
+                key.endswith("pos_embed") or key.endswith("pos_embed_window")
+            ):
+                value = np.asarray(value).transpose(0, 3, 1, 2)
+        if value is None:
+            raise KeyError(f"no framework parameter for torch key {key}")
+        out[key] = np.asarray(value)
+    return out
+
+
 def load_sam2_trunk(path: str) -> dict[str, Any]:
     """Read an official sam2_hiera_*.pt and return trunk variables under the
     `encoder` scope (ready to merge into SAM2UNet's variables)."""

@@ -7,8 +7,6 @@ with background).
 
 from __future__ import annotations
 
-from copy import deepcopy
-
 import numpy as np
 
 
@@ -44,13 +42,18 @@ class MaskData:
                 self._stats[k] = [v[i] for i in keep]
 
     def cat(self, new_stats: "MaskData") -> None:
+        # shallow container copies only: the incoming values are freshly
+        # built per point batch and never mutated afterwards. The
+        # reference's deepcopy here (amg.py:64-66) is O(total RLE runs)
+        # and dominated the 256-point wall time (minutes of copying
+        # ~150k-run RLE dicts element by element).
         for k, v in new_stats.items():
             if k not in self._stats or self._stats[k] is None:
-                self._stats[k] = deepcopy(v)
+                self._stats[k] = list(v) if isinstance(v, list) else v
             elif isinstance(v, np.ndarray):
                 self._stats[k] = np.concatenate([self._stats[k], v], axis=0)
             elif isinstance(v, list):
-                self._stats[k] = self._stats[k] + deepcopy(v)
+                self._stats[k] = self._stats[k] + list(v)
 
     def to_numpy(self) -> None:
         pass  # already numpy
@@ -267,28 +270,45 @@ def batched_nms(boxes: np.ndarray, scores: np.ndarray, idxs: np.ndarray,
     b = shifted[order]
     x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
     areas = np.maximum(0, x1 - x0) * np.maximum(0, y1 - y0)
-    # whole IoU matrix in sorted order, one vectorized pass (the old
-    # per-kept-box loop re-built six O(N) temporaries per survivor); the
-    # greedy pass then only touches precomputed rows. N^2 floats — chunk
-    # the build to bound peak memory at large mask counts.
     n = len(b)
-    iou = np.empty((n, n), np.float32)
-    chunk = max(1, int(4e7) // max(n, 1))
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        xx0 = np.maximum(x0[s:e, None], x0[None])
-        yy0 = np.maximum(y0[s:e, None], y0[None])
-        xx1 = np.minimum(x1[s:e, None], x1[None])
-        yy1 = np.minimum(y1[s:e, None], y1[None])
+
+    def iou_block(a_idx, b_idx):
+        # (len(a), len(b)) IoU block between two index sets (sorted order)
+        xx0 = np.maximum(x0[a_idx][:, None], x0[b_idx][None])
+        yy0 = np.maximum(y0[a_idx][:, None], y0[b_idx][None])
+        xx1 = np.minimum(x1[a_idx][:, None], x1[b_idx][None])
+        yy1 = np.minimum(y1[a_idx][:, None], y1[b_idx][None])
         inter = np.maximum(0, xx1 - xx0) * np.maximum(0, yy1 - yy0)
-        union = areas[s:e, None] + areas[None] - inter
-        iou[s:e] = np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
-    suppressed = np.zeros(n, bool)
-    keep = []
-    for i in range(n):
-        if suppressed[i]:
-            continue
-        keep.append(order[i])
-        suppressed |= iou[i] > iou_threshold
-        suppressed[i] = True
-    return np.asarray(keep, np.int64)
+        union = areas[a_idx][:, None] + areas[b_idx][None] - inter
+        return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+
+    # Exact greedy NMS with bounded memory. A full N^2 IoU matrix is 144 GiB
+    # at the 196k boxes a dense 256-point grid produces, so instead walk the
+    # score-sorted boxes in chunks: each chunk is first vector-suppressed
+    # against every box already kept (in bounded blocks), then the survivors
+    # run the sequential greedy pass — one O(chunk) IoU row per kept box.
+    # A box is suppressed iff it overlaps a higher-scoring kept box, and all
+    # such boxes are either in an earlier chunk (pre-suppression) or earlier
+    # in this chunk (the loop), so the result is identical to the one-pass
+    # matrix form. Peak memory is O(CHUNK * KBLOCK).
+    CHUNK, KBLOCK = 2048, 4096
+    kept = np.zeros(0, np.int64)
+    for s in range(0, n, CHUNK):
+        cand = np.arange(s, min(s + CHUNK, n))
+        alive = np.ones(cand.size, bool)
+        for ks in range(0, kept.size, KBLOCK):
+            live = cand[alive]
+            if live.size == 0:
+                break
+            blk = iou_block(live, kept[ks : ks + KBLOCK])
+            alive[alive] = ~(blk > iou_threshold).any(axis=1)
+        cand = cand[alive]
+        new_kept = []
+        while cand.size:
+            i = cand[0]
+            new_kept.append(i)
+            rest = cand[1:]
+            row = iou_block(np.asarray([i]), rest)[0]
+            cand = rest[row <= iou_threshold]
+        kept = np.concatenate([kept, np.asarray(new_kept, np.int64)])
+    return order[kept]

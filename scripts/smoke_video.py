@@ -89,6 +89,23 @@ def main():
     t0 = time.time()
     rev = [f for f, _, _ in pred.propagate_in_video(state, reverse=True)]
     print(f"reverse {time.time() - t0:.1f}s frames {rev}")
+
+    # packed-yield A/B: fully materialize the masks each frame (readback
+    # included), float path vs bit-packed path
+    def drain(**kw):
+        t0 = time.time()
+        times = []
+        for _, _, m in pred.propagate_in_video(state, **kw):
+            np.asarray(m)
+            times.append(time.time() - t0)
+            t0 = time.time()
+        return times
+
+    drain()  # warm any compiles
+    tf_ = drain()
+    tp_ = drain(yield_packed_masks=True)
+    print(f"readback A/B steady median: float {np.median(tf_[2:]):.3f}s "
+          f"packed {np.median(tp_[2:]):.3f}s per frame")
     print("SMOKE OK")
 
 

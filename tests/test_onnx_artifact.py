@@ -1,0 +1,194 @@
+"""Executed ONNX coverage: artifact production + numpy runtime parity.
+
+The reference exports SAM2-UNet to ONNX and parity-checks it under
+onnxruntime (convert_onnx.py:20-107, test_onnx.py). Neither `onnx` nor
+`onnxruntime` exist on this image, so the framework carries its own ONNX
+protobuf bindings (interop/onnx_compat, protoc-compiled) and a numpy ONNX
+runtime (deploy/onnx_numpy). These tests actually produce a .onnx file —
+framework weights -> torch bridge -> torch.onnx.export — and verify it
+numerically against both oracles (torch forward, framework forward), then
+serve it through deploy.segmenter's onnx backend.
+"""
+
+import io
+import warnings
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from tests.ref_loader import load_ref_sam2unet_class, state_dict_numpy
+
+from sam2unet_tpu.configs import HIERA_S, SAM2UNetConfig
+from sam2unet_tpu.deploy.onnx_numpy import NumpyOnnxRunner
+from sam2unet_tpu.interop import onnx_compat
+from sam2unet_tpu.interop.export import export_onnx_via_torch, verify_onnx
+from sam2unet_tpu.interop.torch_convert import (
+    convert_state_dict,
+    flax_to_torch_state_dict,
+)
+from sam2unet_tpu.models.sam2unet import SAM2UNet
+
+SIZE = 128
+
+
+def _export_bytes(mod, *xs, opset=16):
+    mod.eval()
+    buf = io.BytesIO()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with torch.no_grad():
+            torch.onnx.export(mod, xs, buf, opset_version=opset, dynamo=False)
+    return buf.getvalue()
+
+
+def test_onnx_shim_parses_torch_export():
+    onnx = onnx_compat.get_onnx()
+    assert hasattr(onnx, "load_model_from_string")
+    mod = nn.Conv2d(3, 4, 3, padding=1)
+    model = onnx_compat.load_model_from_string(_export_bytes(mod, torch.zeros(1, 3, 8, 8)))
+    assert model.graph.node[0].op_type == "Conv"
+    weights = {t.name: onnx_compat.tensor_to_array(t) for t in model.graph.initializer}
+    w = [v for v in weights.values() if v.ndim == 4][0]
+    np.testing.assert_array_equal(w, mod.weight.detach().numpy())
+
+
+class _Fn(nn.Module):
+    def __init__(self, f):
+        super().__init__()
+        self.f = f
+
+    def forward(self, *xs):
+        return self.f(*xs)
+
+
+_g = torch.Generator().manual_seed(0)
+
+
+def _t(*shape):
+    return torch.randn(*shape, generator=_g)
+
+
+@pytest.mark.parametrize(
+    "name,mod,xs",
+    [
+        ("conv_group_dilated",
+         nn.Conv2d(8, 12, 3, stride=2, padding=2, dilation=2, groups=4),
+         (_t(2, 8, 19, 23),)),
+        ("maxpool_ceil", nn.MaxPool2d(3, 2, ceil_mode=True), (_t(2, 4, 17, 19),)),
+        ("conv_bn", nn.Sequential(nn.Conv2d(3, 4, 1), nn.BatchNorm2d(4)),
+         (_t(2, 3, 8, 8),)),
+        ("linear_gemm", nn.Linear(16, 8), (_t(5, 16),)),
+        ("ln_softmax", nn.Sequential(nn.LayerNorm(16), nn.Softmax(dim=-1)),
+         (_t(3, 7, 16),)),
+        ("gelu_erf", nn.GELU(), (_t(3, 33),)),
+        ("resize_bilinear",
+         _Fn(lambda x: F.interpolate(x, scale_factor=2, mode="bilinear")),
+         (_t(1, 3, 11, 13),)),
+        ("resize_align_corners",
+         _Fn(lambda x: F.interpolate(x, size=(20, 24), mode="bilinear",
+                                     align_corners=True)),
+         (_t(1, 3, 11, 13),)),
+        ("resize_bicubic",
+         _Fn(lambda x: F.interpolate(x, size=(17, 9), mode="bicubic")),
+         (_t(1, 3, 11, 13),)),
+        ("pad_and_crop", _Fn(lambda x: F.pad(x, (2, -1, -2, 3))),
+         (_t(1, 3, 9, 9),)),
+        ("strided_slice", _Fn(lambda x: x[:, ::2, 1:-1]), (_t(4, 9, 9),)),
+        ("chunk_cat",
+         _Fn(lambda x: torch.cat(torch.chunk(x, 3, dim=1), dim=2)),
+         (_t(2, 9, 5),)),
+        ("attention_shapes",
+         _Fn(lambda q, k: torch.softmax(q @ k.transpose(-1, -2) / 4.0, -1) @ k),
+         (_t(2, 4, 7, 8), _t(2, 4, 7, 8))),
+        ("where_expand",
+         _Fn(lambda x: torch.where(x > 0, x, torch.zeros_like(x)).expand(2, -1, -1)),
+         (_t(1, 4, 5),)),
+        ("reductions", _Fn(lambda x: (x.mean(-1, keepdim=True), x.sum(1))),
+         (_t(3, 4, 5),)),
+    ],
+)
+def test_numpy_runtime_per_op(name, mod, xs):
+    data = _export_bytes(mod, *xs)
+    with torch.no_grad():
+        want = mod(*xs)
+    if not isinstance(want, (tuple, list)):
+        want = [want]
+    runner = NumpyOnnxRunner(data)
+    got = runner(*[x.numpy() for x in xs])
+    for out_name, ref in zip(runner.output_names, want):
+        np.testing.assert_allclose(
+            np.asarray(got[out_name], np.float32), ref.numpy(), atol=5e-5,
+            rtol=1e-4, err_msg=name,
+        )
+
+
+@pytest.fixture(scope="module")
+def onnx_setup(tmp_path_factory):
+    """Shared-weight trio: torch reference, framework variables, and a
+    .onnx artifact exported from the framework weights."""
+    cls = load_ref_sam2unet_class()
+    ref = cls(checkpoint_path="")
+    g = torch.Generator().manual_seed(7)
+    sd = ref.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            sd[k] = torch.randn(v.shape, generator=g, dtype=v.dtype) * 0.05
+    ref.load_state_dict(sd)
+    ref.eval()
+    variables = convert_state_dict(state_dict_numpy(ref))
+    model = SAM2UNet(SAM2UNetConfig(trunk=HIERA_S))
+    path = str(tmp_path_factory.mktemp("onnx") / "sam2unet.onnx")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        export_onnx_via_torch(ref, variables, SIZE, path)
+    return ref, model, variables, path
+
+
+def test_flax_to_torch_roundtrip(onnx_setup):
+    ref, _, variables, _ = onnx_setup
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    back = flax_to_torch_state_dict(variables, list(sd.keys()))
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(back[k], v, err_msg=k)
+
+
+def test_onnx_artifact_matches_torch(onnx_setup):
+    ref, _, _, path = onnx_setup
+    import os
+
+    assert os.path.getsize(path) > 10e6  # real weights inside
+    x = torch.from_numpy(
+        np.random.default_rng(3).standard_normal((1, 3, SIZE, SIZE)).astype(np.float32)
+    )
+    with torch.no_grad():
+        want = ref(x)
+    runner = NumpyOnnxRunner(path)
+    got = runner(x.numpy())
+    assert runner.output_names == ["output", "output_1", "output_2"]
+    for name, ref_out in zip(runner.output_names, want):
+        np.testing.assert_allclose(
+            got[name], ref_out.numpy(), atol=1e-5, rtol=1e-4, err_msg=name
+        )
+
+
+def test_onnx_artifact_matches_framework(onnx_setup):
+    _, model, variables, path = onnx_setup
+    max_diff = verify_onnx(model, variables, SIZE, path)
+    assert max_diff < 5e-4
+
+
+def test_segmenter_onnx_backend(onnx_setup):
+    from sam2unet_tpu.deploy.segmenter import SamUnetSegmenter
+
+    _, _, _, path = onnx_setup
+    seg = SamUnetSegmenter(path, input_size=SIZE, backend="onnx")
+    img = (np.random.default_rng(5).random((97, 143, 3)) * 255).astype(np.uint8)
+    mask = seg.segment(img)
+    assert mask.shape == (97, 143) and mask.dtype == np.uint8
+    assert set(np.unique(mask)) <= {0, 255}
+    assert seg.last_process_time > 0  # ran the model, not the failure path
