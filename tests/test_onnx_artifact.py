@@ -192,3 +192,36 @@ def test_segmenter_onnx_backend(onnx_setup):
     assert mask.shape == (97, 143) and mask.dtype == np.uint8
     assert set(np.unique(mask)) <= {0, 255}
     assert seg.last_process_time > 0  # ran the model, not the failure path
+
+
+def _cli_torch_factory():
+    """Zero-arg factory for convert_onnx --torch_impl (weights are
+    overwritten by the CLI from the framework checkpoint)."""
+    return load_ref_sam2unet_class()(checkpoint_path="")
+
+
+def test_convert_onnx_cli_torch_bridge(onnx_setup, tmp_path, monkeypatch, capsys):
+    """Root convert_onnx.py --format onnx end to end on this image: framework
+    .pth checkpoint -> torch-bridge export -> numpy-runtime parity verify
+    (the reference CLI contract, convert_onnx.py:20-107)."""
+    ref, _, _, _ = onnx_setup
+    ckpt = str(tmp_path / "SAM2-UNet-test.pth")
+    torch.save(ref.state_dict(), ckpt)
+    out = str(tmp_path / "cli.onnx")
+    import convert_onnx as cli
+
+    monkeypatch.setattr(
+        "sys.argv",
+        ["convert_onnx.py", "--checkpoint", ckpt, "--output", out,
+         "--size", str(SIZE), "--model_cfg", "sam2_hiera_s",
+         "--format", "onnx",
+         "--torch_impl", "tests.test_onnx_artifact:_cli_torch_factory"],
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cli.main()
+    captured = capsys.readouterr().out
+    assert "Export verified" in captured
+    import os
+
+    assert os.path.getsize(out) > 10e6
