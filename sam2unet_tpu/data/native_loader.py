@@ -31,11 +31,10 @@ _U8P = ctypes.POINTER(ctypes.c_uint8)
 
 @functools.lru_cache(maxsize=1)
 def _lib():
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "csrc", "build", "libdataload.so",
-    )
-    if not os.path.exists(path):
+    from sam2unet_tpu.ops.native_lib import find_native_lib
+
+    path = find_native_lib("libdataload.so")
+    if path is None:
         return None
     lib = ctypes.CDLL(path)
     lib.dl_jpeg_info.argtypes = [_U8P, ctypes.c_size_t,

@@ -1,4 +1,4 @@
-"""Build the native host ops (csrc/ -> csrc/build/lib*.so).
+"""Build the native host ops (csrc/ -> sam2unet_tpu/_native/lib*.so).
 
 Usage: python -m sam2unet_tpu.ops.build_native
 Targets: libccl.so (connected components) and libdataload.so (JPEG decode +
@@ -6,11 +6,17 @@ fused letterbox/normalize; needs libjpeg, skipped with a notice if absent).
 The framework works without either (scipy/PIL fallbacks); the native paths
 are the fast route for the eval hot loop, predictor postprocessing, and the
 data pipeline on multi-chip machines.
+
+Outputs land in the package's `_native/` dir (so they ship inside the
+installed package / wheel, mirroring the reference's sam2/_C.pyd layout)
+and are mirrored to `csrc/build/` for in-repo use. The wheel build
+(setup.py) reuses `compile_sources` to bake the .so files into the wheel.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import subprocess
 import sys
 
@@ -26,10 +32,12 @@ def _compile(src: str, out: str, extra: list[str], verbose: bool) -> str:
     return out
 
 
-def build(verbose: bool = True) -> list[str]:
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    csrc = os.path.join(root, "csrc")
-    out_dir = os.path.join(csrc, "build")
+def compile_sources(csrc: str, out_dir: str, verbose: bool = True) -> list[str]:
+    """Compile every native target from `csrc` into `out_dir`.
+
+    libdataload.so is best-effort (needs libjpeg); libccl.so is required —
+    a compile failure there raises.
+    """
     os.makedirs(out_dir, exist_ok=True)
     built = [
         _compile(os.path.join(csrc, "ccl.cc"),
@@ -44,6 +52,18 @@ def build(verbose: bool = True) -> list[str]:
     except subprocess.CalledProcessError:
         print("libdataload.so skipped (libjpeg not available); "
               "the PIL data path remains in use")
+    return built
+
+
+def build(verbose: bool = True) -> list[str]:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    csrc = os.path.join(root, "csrc")
+    pkg_native = os.path.join(root, "sam2unet_tpu", "_native")
+    built = compile_sources(csrc, pkg_native, verbose)
+    mirror = os.path.join(csrc, "build")
+    os.makedirs(mirror, exist_ok=True)
+    for so in built:
+        shutil.copy2(so, os.path.join(mirror, os.path.basename(so)))
     return built
 
 

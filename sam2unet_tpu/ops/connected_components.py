@@ -114,11 +114,11 @@ def _load_native():
     if _native is not None:
         return _native
     import ctypes
-    import os
 
-    here = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    so = os.path.join(here, "csrc", "build", "libccl.so")
-    if not os.path.exists(so):
+    from sam2unet_tpu.ops.native_lib import find_native_lib
+
+    so = find_native_lib("libccl.so")
+    if so is None:
         _native = False
         return False
     lib = ctypes.CDLL(so)

@@ -14,6 +14,15 @@ def test_native_build_and_match(tmp_path):
     built = build_native.build(verbose=False)
     assert any(p.endswith("libccl.so") for p in built)
 
+    # The build lands inside the package (wheel package-data layout,
+    # mirroring the reference's sam2/_C.pyd) and the locator resolves it
+    # with the package copy taking precedence over the csrc/build mirror.
+    from sam2unet_tpu.ops.native_lib import find_native_lib, native_search_paths
+
+    path = find_native_lib("libccl.so")
+    assert path is not None and path == native_search_paths("libccl.so")[0]
+    assert "_native" in path
+
     cc._native = None  # force reload of the freshly built library
     lib = cc._load_native()
     assert lib, "native library failed to load"
