@@ -40,12 +40,43 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 
 A100_EQUIV_IMG_PER_S = 240.0
 A100_EQUIV_TRAIN_IMG_PER_S = 80.0
 V5E_PEAK_BF16_TFLOPS = 197.0  # TPU v5e peak bf16 matmul throughput
+
+
+def _start_init_watchdog(timeout_s: float, metric: str) -> threading.Timer:
+    """Backend-init watchdog: the axon TPU tunnel has multi-hour outages
+    during which the first backend touch hangs forever (no error, no
+    timeout). The driver's round-end bench must never hang on that, so if
+    init has not completed within `timeout_s` this prints one honest JSON
+    line carrying an `error` field and hard-exits. Cancel once devices are
+    confirmed; only init is covered — compiles/measured windows may
+    legitimately take longer."""
+
+    def fire() -> None:  # pragma: no cover - exercised via subprocess test
+        record = {
+            "metric": metric,
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": (
+                f"TPU backend init exceeded {timeout_s:.0f}s — tunnel "
+                "outage; no measurement possible this run"
+            ),
+        }
+        print(json.dumps(record), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def _roundtrip_seconds(jax, jnp) -> float:
@@ -204,10 +235,19 @@ def main() -> None:
     p.add_argument("--size", type=int, default=352)
     p.add_argument("--model_cfg", type=str, default="sam2_hiera_l")
     p.add_argument("--no_calibrate", action="store_true")
+    p.add_argument("--init_timeout", type=float, default=600.0,
+                   help="seconds before a hung backend init (tunnel "
+                        "outage) aborts with an error JSON line")
     p.add_argument("--fold_bn", action="store_true",
                    help="fold BatchNorms into conv kernels before the "
                         "inference bench (nn/fold_bn.py A/B)")
     args = p.parse_args()
+
+    primary_metric = (
+        f"{args.model_cfg}_{args.size}_"
+        f"{'train' if args.mode == 'train' else 'infer'}_img_per_s_chip"
+    )
+    watchdog = _start_init_watchdog(args.init_timeout, primary_metric)
 
     from sam2unet_tpu.utils.jax_setup import setup_jax
 
@@ -220,6 +260,7 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     n_chips = len(jax.devices())
+    watchdog.cancel()  # backend is up; long compiles past here are fine
     args.batch = args.batch or (32 if on_tpu else 2)
 
     model = SAM2UNet(

@@ -27,3 +27,25 @@ def test_bench_help_runs():
     )
     assert r.returncode == 0
     assert "--mode" in r.stdout
+
+
+def test_bench_init_watchdog_emits_error_json_and_exits():
+    """A wedged TPU tunnel hangs the first backend touch forever; the
+    watchdog must turn that into one parseable JSON line + exit code 3 so
+    the driver's round-end bench never stalls. Simulated by arming the
+    watchdog and sleeping past it."""
+    import json
+
+    code = (
+        "import time, bench\n"
+        "bench._start_init_watchdog(0.2, 'm')\n"
+        "time.sleep(10)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=60, cwd=".",
+    )
+    assert r.returncode == 3
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "m" and rec["value"] == 0.0
+    assert "error" in rec and "init" in rec["error"]
