@@ -53,13 +53,7 @@ def ring_sdpa(q, k, v, axis_name: str, scale: float | None = None):
     l0 = zero
     o0 = qf * 0.0
 
-    # ppermute ring: each step every device hands its current K/V block to
-    # the next device; after n steps every q shard has seen every k block
-    idx = lax.axis_index(axis_name)
-    perm = None  # built lazily: ppermute wants static pairs
-
-    def body(carry, _):
-        k_blk, v_blk, m, l, o = carry
+    def fold(k_blk, v_blk, m, l, o):
         s = jnp.einsum(
             "bqhd,bkhd->bqhk", qf, k_blk.astype(jnp.float32)
         ) * scale
@@ -70,14 +64,22 @@ def ring_sdpa(q, k, v, axis_name: str, scale: float | None = None):
         o = o * corr[..., None] + jnp.einsum(
             "bqhk,bkhd->bqhd", p, v_blk.astype(jnp.float32)
         )
+        return m_new, l, o
+
+    # fold the resident block first, then n-1 permute-then-fold steps:
+    # each step every device hands its current K/V block to the next
+    # device (neighbor hops ride ICI), so after the scan every q shard
+    # has seen every k block with no wasted final rotation
+    m, l, o = fold(k, v, m0, l0, o0)
+
+    def body(carry, _):
+        k_blk, v_blk, m, l, o = carry
         k_blk = lax.ppermute(k_blk, axis_name, _ring_perm(n))
         v_blk = lax.ppermute(v_blk, axis_name, _ring_perm(n))
-        return (k_blk, v_blk, m_new, l, o), None
+        m, l, o = fold(k_blk, v_blk, m, l, o)
+        return (k_blk, v_blk, m, l, o), None
 
-    (k_f, v_f, m, l, o), _ = lax.scan(
-        body, (k, v, m0, l0, o0), None, length=n
-    )
-    del idx, perm, k_f, v_f
+    (_, _, m, l, o), _ = lax.scan(body, (k, v, m, l, o), None, length=n - 1)
     return (o / l[..., None]).astype(q.dtype)
 
 

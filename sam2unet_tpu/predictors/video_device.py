@@ -23,10 +23,21 @@ gathered path (predictors/video_predictor.py::_gather_memory):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _ring_write(ring, val, slot):
+    """In-place (donated) ring-slot write. Module-level so the jit cache is
+    shared across DeviceMemoryBank instances — one bank is built per
+    propagation pass, and a per-instance lambda re-hit the slow remote
+    compile service on every pass."""
+    return lax.dynamic_update_index_in_dim(ring, val, slot, 0)
 
 
 class DeviceMemoryBank:
@@ -78,13 +89,6 @@ class DeviceMemoryBank:
         self.grid_frames = [-1] * self.grid_cap  # abs frame idx per slot
         self.ptr_frames = [-1] * self.ptr_cap
 
-        self._jit_write = jax.jit(
-            lambda ring, val, slot: lax.dynamic_update_index_in_dim(
-                ring, val, slot, 0
-            ),
-            donate_argnums=(0,),
-        )
-
     # ------------------------------------------------------------- seeding
 
     def _grid_pool_idx(self, frame_idx: int, output_dict, unselected_cond):
@@ -101,7 +105,7 @@ class DeviceMemoryBank:
                     ),
                     self.grid_ring.dtype,
                 )
-                self.grid_ring = self._jit_write(self.grid_ring, feats, slot)
+                self.grid_ring = _ring_write(self.grid_ring, feats, slot)
                 self.grid_frames[slot] = frame_idx
             return len(self.cond_frames) + slot
         if frame_idx in unselected_cond:
@@ -121,7 +125,7 @@ class DeviceMemoryBank:
             ptr = jnp.asarray(
                 np.asarray(out["obj_ptr"], np.float32), jnp.float32
             )
-            self.ptr_ring = self._jit_write(self.ptr_ring, ptr, slot)
+            self.ptr_ring = _ring_write(self.ptr_ring, ptr, slot)
             self.ptr_frames[slot] = frame_idx
         return len(self.cond_frames) + slot
 
@@ -174,9 +178,15 @@ class DeviceMemoryBank:
 
         if cfg.use_obj_ptrs_in_encoder:
             max_ptrs = min(state["num_frames"], cfg.max_obj_ptrs_in_encoder)
-            p_idx = np.zeros(cfg.max_obj_ptrs_in_encoder, np.int32)
-            p_tdiff = np.zeros(cfg.max_obj_ptrs_in_encoder, np.float32)
-            p_valid = np.zeros(cfg.max_obj_ptrs_in_encoder, bool)
+            # slot count bounds what the reference actually attends to:
+            # EVERY selected cond pointer plus up to max - 1 non-cond ones
+            # (sam2_base.py:570-620) — a flat max_obj_ptrs_in_encoder cap
+            # silently dropped pointers with >1 cond frame. Mirrors the
+            # host path's pad target (video_predictor.py::_gather_memory).
+            n_ptr_slots = n_cond + cfg.max_obj_ptrs_in_encoder - 1
+            p_idx = np.zeros(n_ptr_slots, np.int32)
+            p_tdiff = np.zeros(n_ptr_slots, np.float32)
+            p_valid = np.zeros(n_ptr_slots, bool)
             k = 0
             if cfg.only_obj_ptrs_in_the_past_for_eval:
                 ptr_cond = [
@@ -185,18 +195,14 @@ class DeviceMemoryBank:
                 ]
             else:
                 ptr_cond = list(selected_cond)
-            for t in ptr_cond:
-                if k >= len(p_idx):
-                    break  # more cond frames than pointer slots
+            for t in ptr_cond:  # len(ptr_cond) <= n_cond: always fits
                 p_idx[k] = self.cond_frames.index(t)
                 p_tdiff[k] = abs(frame_idx - t)
                 p_valid[k] = True
                 k += 1
-            for t_diff in range(1, max_ptrs):
+            for t_diff in range(1, max_ptrs):  # <= max - 1 entries: fits
                 t = frame_idx + t_diff if reverse else frame_idx - t_diff
                 if t < 0 or t >= state["num_frames"]:
-                    break
-                if k >= len(p_idx):
                     break
                 pool = self._ptr_pool_idx(t, output_dict, unselected_cond)
                 if pool >= 0:
@@ -247,7 +253,6 @@ def build_device_track_step(predictor):
     cfg = predictor.cfg
     C, mem_dim = cfg.hidden_dim, cfg.mem_dim
     split = C // mem_dim if mem_dim < C else 1
-    ptr_slots = cfg.max_obj_ptrs_in_encoder * split
     use_ptrs = cfg.use_obj_ptrs_in_encoder
     multimask = model.use_multimask(is_init_cond_frame=False, num_pts=0)
     fill_hole_area = predictor.fill_hole_area
@@ -291,6 +296,9 @@ def build_device_track_step(predictor):
             valid = jnp.repeat(g_valid, hw)
             nptr = 0
             if use_ptrs:
+                # token count rides the (static) gather-meta shape:
+                # n_cond + max_obj_ptrs_in_encoder - 1 slots per pointer
+                ptr_slots = p_idx.shape[0] * split
                 ptr_pool = jnp.concatenate([cond_ptr, ptr_ring], axis=0)
                 ptrs = ptr_pool[p_idx].transpose(1, 0, 2)  # (B, P, C)
                 if cfg.add_tpos_enc_to_obj_ptrs:

@@ -771,7 +771,18 @@ class SAM2VideoPredictor:
         if cfg.use_obj_ptrs_in_encoder:
             C, mem_dim = cfg.hidden_dim, cfg.mem_dim
             split = C // mem_dim if mem_dim < C else 1
-            ptr_slots = cfg.max_obj_ptrs_in_encoder * split  # fixed
+            # fixed slot count per propagation pass: the reference caps only
+            # the NON-cond pointers at max_obj_ptrs_in_encoder - 1 and
+            # includes every selected cond pointer on top
+            # (sam2_base.py:570-620) — so the pad target must bound
+            # n_cond + max - 1, not max (which underflowed the pad width
+            # with >1 cond frame on long videos)
+            n_cond_bound = len(output_dict["cond_frame_outputs"])
+            if cfg.max_cond_frames_in_attn > 0:
+                n_cond_bound = min(n_cond_bound, cfg.max_cond_frames_in_attn)
+            ptr_slots = (
+                n_cond_bound + cfg.max_obj_ptrs_in_encoder - 1
+            ) * split
             max_ptrs = min(state["num_frames"], cfg.max_obj_ptrs_in_encoder)
             if cfg.only_obj_ptrs_in_the_past_for_eval:
                 ptr_cond = {

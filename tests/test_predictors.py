@@ -182,6 +182,42 @@ def test_video_device_bank_matches_host_gather_path(tiny_sam2):
         )
 
 
+def test_video_pointer_overflow_two_cond_frames(tiny_sam2):
+    """With >1 cond frame on a long-enough video, the reference attends to
+    EVERY selected cond pointer PLUS up to max_obj_ptrs_in_encoder - 1
+    non-cond pointers (sam2_base.py:570-620) — more than a flat
+    max_obj_ptrs_in_encoder slot count. Regression: the host pad width went
+    negative (ValueError) and the device path silently truncated. Both
+    paths must run and agree (tiny config: max_obj_ptrs=4; 2 prompts + 3
+    tracked predecessors = 5 pointers at the late frames)."""
+    from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
+
+    model, variables = tiny_sam2
+    rng = np.random.default_rng(12)
+    frames = (rng.random((8, 40, 48, 3)) * 255).astype(np.uint8)
+
+    outs = {}
+    for name, dev in (("legacy", False), ("device", True)):
+        pred = SAM2VideoPredictor(model, variables, device_resident=dev)
+        state = pred.init_state(images=frames)
+        for fidx in (0, 2):
+            pred.add_new_points(
+                state, frame_idx=fidx, obj_id=1,
+                points=np.array([[24.0, 20.0]]), labels=np.array([1]),
+            )
+        outs[name] = {
+            f: np.asarray(m, np.float32)
+            for f, _, m in pred.propagate_in_video(state)
+        }
+
+    assert set(outs["legacy"]) == set(outs["device"])
+    for f in outs["legacy"]:
+        np.testing.assert_allclose(
+            outs["device"][f], outs["legacy"][f], rtol=1e-4, atol=2e-4,
+            err_msg=f"frame {f}",
+        )
+
+
 def test_video_packed_mask_yield_matches_float(tiny_sam2):
     """yield_packed_masks=True returns bit-packed (mask > 0) along width;
     np.unpackbits must reproduce the float path's binarization."""
