@@ -21,11 +21,8 @@ from scipy.special import erf as _erf
 
 from sam2unet_tpu.interop import onnx_compat
 
-_CAST = {
-    1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
-    6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16, 11: np.float64,
-    12: np.uint32, 13: np.uint64,
-}
+# one shared DataType->numpy table (divergent copies already bit us once)
+_CAST = dict(onnx_compat._DTYPES)
 
 
 def _trunc_div(a, b):
@@ -36,7 +33,8 @@ def _trunc_div(a, b):
     return q + ((r != 0) & ((a < 0) != (b < 0)))
 
 
-def _interp_taps(out_len, in_len, scale, mode, coord_mode, cubic_a):
+def _interp_taps(out_len, in_len, scale, mode, coord_mode, cubic_a,
+                 nearest_mode="round_prefer_floor"):
     """1-D resize taps: (idx [out, k], w [out, k]) with clamped indices."""
     x = np.arange(out_len, dtype=np.float64)
     if coord_mode == "align_corners":
@@ -50,7 +48,19 @@ def _interp_taps(out_len, in_len, scale, mode, coord_mode, cubic_a):
     else:
         raise NotImplementedError(f"coordinate_transformation_mode {coord_mode}")
     if mode == "nearest":
-        idx = np.clip(np.floor(src).astype(np.int64), 0, in_len - 1)
+        # the spec default is round_prefer_floor (round-half-down), NOT
+        # floor — flooring shifted every other index at 2x upsampling
+        if nearest_mode == "round_prefer_floor":
+            picked = np.ceil(src - 0.5)
+        elif nearest_mode == "round_prefer_ceil":
+            picked = np.floor(src + 0.5)
+        elif nearest_mode == "floor":
+            picked = np.floor(src)
+        elif nearest_mode == "ceil":
+            picked = np.ceil(src)
+        else:
+            raise NotImplementedError(f"nearest_mode {nearest_mode}")
+        idx = np.clip(picked.astype(np.int64), 0, in_len - 1)
         return idx[:, None], np.ones((out_len, 1))
     base = np.floor(src).astype(np.int64)
     t = src - base
@@ -158,6 +168,7 @@ class NumpyOnnxRunner:
                 raise NotImplementedError(f"ONNX op {node.op_type}")
             ins = [env[n] if n else None for n in node.input]
             attrs = onnx_compat.attr_map(node)
+            self._cur_node = node  # ops needing output arity (Split) read it
             outs = op(attrs, *ins, env=env)
             if not isinstance(outs, tuple):
                 outs = (outs,)
@@ -232,7 +243,13 @@ class NumpyOnnxRunner:
         return x
 
     def op_Cast(self, a, x, env=None):
-        return np.asarray(x).astype(_CAST[a["to"]])
+        to = a["to"]
+        if to == 16:  # bfloat16: numpy has no bf16 — round-to-nearest-even
+            # to bf16 precision, carried as float32
+            u = np.ascontiguousarray(x, np.float32).view(np.uint32)
+            u = (u + 0x7FFF + ((u >> 16) & 1)) & np.uint32(0xFFFF0000)
+            return u.view(np.float32)
+        return np.asarray(x).astype(_CAST[to])
 
     def op_Softmax(self, a, x, env=None):
         ax = a.get("axis", -1)
@@ -302,7 +319,11 @@ class NumpyOnnxRunner:
         if split is None and "split" in a:
             split = np.asarray(a["split"])
         if split is None:
-            n = a["num_outputs"]
+            # num_outputs only exists from opset 18; opset 13-17 equal
+            # splits infer the count from the node's output list
+            n = a.get("num_outputs") or sum(
+                1 for o in self._cur_node.output if o
+            )
             return tuple(np.array_split(x, n, axis=axis))
         pts = np.cumsum(split.astype(np.int64))[:-1]
         return tuple(np.split(x, pts, axis=axis))
@@ -372,7 +393,10 @@ class NumpyOnnxRunner:
         branch = a["then_branch"] if bool(np.asarray(cond).reshape(())) else a[
             "else_branch"
         ]
-        sub_env = env  # ONNX subgraphs read outer scope; outputs are fresh
+        # ONNX subgraphs read the outer scope but have their OWN namespace:
+        # run in a child scope so branch intermediates can legally reuse
+        # outer tensor names without clobbering them
+        sub_env = dict(env)
         self._run_graph(branch, sub_env)
         return tuple(sub_env[o.name] for o in branch.output)
 
@@ -460,6 +484,7 @@ class NumpyOnnxRunner:
         mode = a.get("mode", "nearest")
         coord = a.get("coordinate_transformation_mode", "half_pixel")
         cubic_a = a.get("cubic_coeff_a", -0.75)
+        nearest = a.get("nearest_mode", "round_prefer_floor")
         in_shape = np.asarray(x.shape, np.int64)
         if sizes is not None and np.size(sizes):
             out_shape = sizes.astype(np.int64)
@@ -473,7 +498,7 @@ class NumpyOnnxRunner:
                 continue
             idx, w = _interp_taps(
                 int(out_shape[ax]), int(in_shape[ax]), float(eff_scales[ax]),
-                mode, coord, cubic_a,
+                mode, coord, cubic_a, nearest,
             )
             taps = np.take(out, idx, axis=ax)  # (..., out, k, ...)
             w_shape = [1] * taps.ndim

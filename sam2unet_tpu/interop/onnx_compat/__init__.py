@@ -141,6 +141,10 @@ def tensor_to_array(t) -> np.ndarray:
         data = np.asarray(list(t.uint64_data), np.uint64)
     else:  # int32 carries every narrow integral/bool/fp16 payload
         data = np.asarray(list(t.int32_data), np.int32)
+        if dt == 10:
+            # fp16 typed storage holds uint16 BIT PATTERNS, not values:
+            # bit-cast, never value-cast (15360 -> 1.0, not 15360.0)
+            return data.astype(np.uint16).view(np.float16).reshape(dims)
     return data.astype(np_dt).reshape(dims)
 
 

@@ -44,6 +44,24 @@ def _rebuild_tensor_v2(storage, storage_offset, size, stride, *unused):
     arr = storage.data
     if not size:
         return arr[storage_offset].copy() if arr.size else arr
+    # bounds-check BEFORE building the strided view: a truncated/crafted
+    # data.pkl can declare shapes far beyond the storage buffer, and
+    # as_strided would happily read out-of-bounds process memory (this is
+    # a restricted reader — fail loudly instead)
+    if any(sz <= 0 for sz in size):
+        return np.zeros(tuple(size), arr.dtype)
+    if any(st < 0 for st in stride):
+        raise pickle.UnpicklingError(
+            f"negative tensor strides {tuple(stride)} (restricted reader)"
+        )
+    max_elem = storage_offset + sum(
+        (sz - 1) * st for sz, st in zip(size, stride)
+    )
+    if storage_offset < 0 or max_elem >= arr.size:
+        raise pickle.UnpicklingError(
+            f"tensor view (offset {storage_offset}, size {tuple(size)}, "
+            f"stride {tuple(stride)}) exceeds its {arr.size}-element storage"
+        )
     # build a strided view (strides are in elements)
     itemsize = arr.dtype.itemsize
     byte_strides = tuple(s * itemsize for s in stride)
@@ -81,10 +99,13 @@ class _Unpickler(pickle.Unpickler):
             data = _bf16_to_f32(raw)
         else:
             np_dtype = _DTYPES.get(name)
-            if np_dtype is None and hasattr(storage_type, "dtype"):
-                # torch.storage.TypedStorage with a dtype attr
-                np_dtype = np.float32
-            data = np.frombuffer(raw, dtype=np_dtype or np.float32)
+            if np_dtype is None:
+                # unknown storage (complex/quantized/future types): raising
+                # beats silently reinterpreting the bytes as float32
+                raise pickle.UnpicklingError(
+                    f"unsupported storage type {name} (restricted reader)"
+                )
+            data = np.frombuffer(raw, dtype=np_dtype)
         st = _Storage(data)
         self._storages[key] = st
         return st

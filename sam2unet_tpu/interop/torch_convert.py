@@ -150,18 +150,24 @@ def convert_state_dict(
                 break
         path = _to_flax_path(name_key)
         if wrap_blocks:
-            new_path: list[str] = []
-            for j, x in enumerate(path):
-                new_path.append(x)
-                if x.startswith("blocks_") and path[j + 1 : j + 2] != ("block",):
-                    new_path.append("block")
-            path = tuple(new_path)
+            path = _wrap_block_path(path)
         if leaf:
             path = path + (leaf,)
         _set(tree[coll], path, value)
     if not tree["batch_stats"]:
         tree.pop("batch_stats")
     return tree
+
+
+def _wrap_block_path(path: tuple[str, ...]) -> tuple[str, ...]:
+    """Insert the AdapterBlock's inner 'block' scope after each 'blocks_N'
+    (shared by both conversion directions so the rule cannot drift)."""
+    new_path: list[str] = []
+    for j, x in enumerate(path):
+        new_path.append(x)
+        if x.startswith("blocks_") and path[j + 1 : j + 2] != ("block",):
+            new_path.append("block")
+    return tuple(new_path)
 
 
 def _get(tree: dict, path: tuple[str, ...]):
@@ -200,12 +206,7 @@ def flax_to_torch_state_dict(
                 break
         path = _to_flax_path(name_key)
         if wrap_blocks:
-            new_path: list[str] = []
-            for j, x in enumerate(path):
-                new_path.append(x)
-                if x.startswith("blocks_") and path[j + 1 : j + 2] != ("block",):
-                    new_path.append("block")
-            path = tuple(new_path)
+            path = _wrap_block_path(path)
         if key.endswith(".num_batches_tracked"):
             out[key] = np.asarray(0, np.int64)
             continue
@@ -243,7 +244,7 @@ def load_sam2_trunk(path: str) -> dict[str, Any]:
     """Read an official sam2_hiera_*.pt and return trunk variables under the
     `encoder` scope (ready to merge into SAM2UNet's variables)."""
     state = load_torch_file(path)
-    if "model" in state and not any("." in k for k in state if k == "model"):
+    if "model" in state and isinstance(state["model"], dict):
         state = state["model"]
     prefix = "image_encoder.trunk."
     trunk = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
@@ -266,12 +267,17 @@ def load_sam2unet_checkpoint(path: str) -> dict[str, Any]:
 
 def load_torch_file(path: str) -> dict[str, np.ndarray]:
     """Load a torch-saved file to numpy without importing torch if possible."""
-    try:
-        from sam2unet_tpu.interop.pt_reader import read_pt
+    from sam2unet_tpu.interop.pt_reader import read_pt
 
+    try:
         return read_pt(path)
-    except Exception:
-        import torch
+    except Exception as e:
+        # fall back to torch (legacy non-zip saves, exotic storages) — but
+        # never let a missing torch MASK the real decode failure
+        try:
+            import torch
+        except ImportError:
+            raise e from None
 
         obj = torch.load(path, map_location="cpu", weights_only=True)
         return _torch_tree_to_numpy(obj)

@@ -125,6 +125,120 @@ def test_numpy_runtime_per_op(name, mod, xs):
         )
 
 
+def _pb2():
+    return onnx_compat._ensure_pb2()
+
+
+def _mk_graph(pb2, nodes, in_names, out_names, name="g"):
+    g = pb2.GraphProto(name=name)
+    g.node.extend(nodes)
+    for n in in_names:
+        vi = pb2.ValueInfoProto(name=n)
+        vi.type.tensor_type.elem_type = 1
+        g.input.append(vi)
+    for n in out_names:
+        vi = pb2.ValueInfoProto(name=n)
+        vi.type.tensor_type.elem_type = 1
+        g.output.append(vi)
+    return g
+
+
+def _mk_model(pb2, graph, opset=16):
+    m = pb2.ModelProto(ir_version=8)
+    m.graph.CopyFrom(graph)
+    op = m.opset_import.add()
+    op.version = opset
+    return m
+
+
+def test_tensorproto_fp16_typed_storage_bitcast():
+    """fp16 tensors without raw_data store uint16 BIT PATTERNS in
+    int32_data (ONNX spec); decoding must bit-cast, not value-cast."""
+    pb2 = _pb2()
+    t = pb2.TensorProto(data_type=10, dims=[2])
+    t.int32_data.extend([15360, 49152])  # fp16 bits of 1.0 and -2.0
+    got = onnx_compat.tensor_to_array(t)
+    np.testing.assert_array_equal(got.astype(np.float32),
+                                  np.array([1.0, -2.0], np.float32))
+
+
+def test_resize_nearest_round_prefer_floor_default():
+    """Default nearest_mode is round_prefer_floor: 4 -> 8 half_pixel must
+    duplicate every source index, not floor-shift every other one."""
+    from sam2unet_tpu.deploy.onnx_numpy import _interp_taps
+
+    idx, w = _interp_taps(8, 4, 2.0, "nearest", "half_pixel", -0.75)
+    np.testing.assert_array_equal(idx[:, 0], [0, 0, 1, 1, 2, 2, 3, 3])
+    idx_f, _ = _interp_taps(8, 4, 2.0, "nearest", "half_pixel", -0.75,
+                            nearest_mode="floor")
+    np.testing.assert_array_equal(idx_f[:, 0], [0, 0, 0, 1, 1, 2, 2, 3])
+
+
+def test_split_equal_without_sizes_opset16():
+    """Opset 13-17 equal Split has no `split` input and no num_outputs
+    attribute — the count comes from the node's output list."""
+    pb2 = _pb2()
+    node = pb2.NodeProto(op_type="Split", name="s")
+    node.input.append("x")
+    node.output.extend(["a", "b"])
+    a_ax = node.attribute.add()
+    a_ax.name, a_ax.type, a_ax.i = "axis", 2, 1
+    model = _mk_model(pb2, _mk_graph(pb2, [node], ["x"], ["a", "b"]))
+    x = np.arange(12, dtype=np.float32).reshape(2, 6)
+    out = NumpyOnnxRunner(model)(x)
+    np.testing.assert_array_equal(out["a"], x[:, :3])
+    np.testing.assert_array_equal(out["b"], x[:, 3:])
+
+
+def test_if_branch_does_not_clobber_outer_names():
+    """ONNX subgraphs have their own namespace: an If-branch intermediate
+    legally named like an outer tensor must not overwrite it."""
+    pb2 = _pb2()
+    # then-branch: t = Constant(100.0); ybr = Identity(t)  (clobbers 't')
+    cst = pb2.NodeProto(op_type="Constant", name="c")
+    cst.output.append("t")
+    at = cst.attribute.add()
+    at.name, at.type = "value", 4
+    at.t.data_type = 1
+    at.t.float_data.append(100.0)
+    ident = pb2.NodeProto(op_type="Identity", name="i")
+    ident.input.append("t")
+    ident.output.append("ybr")
+    branch = _mk_graph(pb2, [cst, ident], [], ["ybr"], name="then")
+
+    iff = pb2.NodeProto(op_type="If", name="if")
+    iff.input.append("cond")
+    iff.output.append("y")
+    for aname in ("then_branch", "else_branch"):
+        ab = iff.attribute.add()
+        ab.name, ab.type = aname, 5
+        ab.g.CopyFrom(branch)
+    add = pb2.NodeProto(op_type="Add", name="a")
+    add.input.extend(["t", "y"])     # outer 't' must still be the input
+    add.output.append("o")
+    model = _mk_model(pb2, _mk_graph(pb2, [iff, add],
+                                     ["cond", "t"], ["o"]))
+    out = NumpyOnnxRunner(model)(np.asarray(True), np.float32(1.5))
+    assert float(out["o"]) == 101.5  # 1.5 (outer t) + 100 (branch value)
+
+
+def test_cast_to_bfloat16_rounds():
+    """Cast(to=16): numpy has no bf16, so values round to bf16 precision
+    (nearest-even) and come back as float32."""
+    pb2 = _pb2()
+    node = pb2.NodeProto(op_type="Cast", name="c")
+    node.input.append("x")
+    node.output.append("y")
+    a = node.attribute.add()
+    a.name, a.type, a.i = "to", 2, 16
+    model = _mk_model(pb2, _mk_graph(pb2, [node], ["x"], ["y"]))
+    x = np.array([1.0, 1.0 + 2**-7, 1.0 + 2**-8], np.float32)
+    out = NumpyOnnxRunner(model)(x)["y"]
+    # 1+2^-7 is exactly representable in bf16; 1+2^-8 ties -> even (1.0)
+    np.testing.assert_array_equal(out, np.array(
+        [1.0, 1.0 + 2**-7, 1.0], np.float32))
+
+
 @pytest.fixture(scope="module")
 def onnx_setup(tmp_path_factory):
     """Shared-weight trio: torch reference, framework variables, and a
