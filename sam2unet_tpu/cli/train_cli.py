@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import numpy as np
 
@@ -84,7 +85,24 @@ def main(args) -> None:
     import jax.numpy as jnp
 
     dataset = TrainDataset(args.train_image_path, args.train_mask_path, args.size)
+    if len(dataset) == 0:
+        raise SystemExit(
+            f"no training images found under {args.train_image_path!r} "
+            f"(masks: {args.train_mask_path!r})"
+        )
     test_data = EvalDataset(args.test_image_path, args.test_gt_path, args.size)
+
+    n_dev = len(jax.devices())
+    if jax.default_backend() == "tpu" and n_dev > 1 and not args.shard_map:
+        from sam2unet_tpu.ops.pallas import dispatch
+
+        if not dispatch.xla_only():
+            # GSPMD cannot partition the Pallas custom calls (CLAUDE.md);
+            # shard_map + SyncBN is the supported real-multi-chip path and
+            # is numerically identical (tests/test_shard_map_dp.py)
+            print(f"[train] {n_dev} TPU chips detected: enabling --shard_map "
+                  "(the Pallas kernels cannot ride the GSPMD partitioner)")
+            args.shard_map = True
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     bn_axis = None
@@ -118,61 +136,83 @@ def main(args) -> None:
     eval_step = make_eval_step(model, mesh=mesh, use_shard_map=args.shard_map)
 
     eval_bs = args.eval_batch_size or args.batch_size
+    n_data = int(np.prod(list(mesh.shape.values())))
+    for nm, bs in (("--batch_size", args.batch_size),
+                   ("--eval_batch_size", eval_bs)):
+        if bs % n_data:
+            raise SystemExit(
+                f"{nm}={bs} is not divisible by the {n_data}-device data "
+                "axis; pick a multiple so batches shard evenly (a partial "
+                "shard would otherwise fail AFTER the first epoch trains)"
+            )
     os.makedirs(args.save_path, exist_ok=True)
     log_path = os.path.join(args.save_path, "log.txt")
     policy = CheckpointPolicy(
         args.save_path, args.base_mean_iou, args.save_interval, args.epoch
     )
 
-    import time as _time
-
-    import jax as _jax
-
     epoch_loss = 2.0
     global_step = 0
+    profiling = False
     for epoch in range(args.epoch):
         print("Training:")
-        t_epoch = _time.perf_counter()
+        t_epoch = time.perf_counter()
         n_imgs = 0
         for i, batch in enumerate(
             dataset.epoch(args.batch_size, epoch, num_workers=args.num_workers)
         ):
             if args.profile_dir and global_step == 10:
-                _jax.profiler.start_trace(args.profile_dir)
+                jax.profiler.start_trace(args.profile_dir)
+                profiling = True
             images = shard_batch(mesh, batch.image)
             labels = shard_batch(mesh, batch.label)
             state, metrics = train_step(state, images, labels)
             n_imgs += batch.valid
             global_step += 1
-            if args.profile_dir and global_step == 15:
-                _jax.block_until_ready(metrics["loss"])
-                _jax.profiler.stop_trace()
+            if profiling and global_step == 15:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
                 print(f"profiler trace written to {args.profile_dir}")
             if i % 10 == 0:
                 epoch_loss = float(metrics["loss"])
                 print(f"epoch-{epoch + 1}-{i + 1}: loss:{epoch_loss}")
+        if profiling:
+            # run ended before the 5-step window filled: flush what we have
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profiler trace (short run) written to {args.profile_dir}")
         epoch_loss = float(metrics["loss"])
-        dt = _time.perf_counter() - t_epoch
+        dt = time.perf_counter() - t_epoch
         print(f"epoch-{epoch + 1}: {n_imgs} imgs in {dt:.1f}s "
               f"({n_imgs / max(dt, 1e-9):.2f} img/s)")
 
         print("Evaluating", end="")
-        t_eval = _time.perf_counter()
+        t_eval = time.perf_counter()
         eval_vars = state.variables()
         if not args.full_eval:
             from sam2unet_tpu.eval.metrics_device import batched_semantic_metrics
-            from sam2unet_tpu.train.engine import postprocess_logits
+            from sam2unet_tpu.train.engine import (
+                letterbox_valid_mask,
+                postprocess_logits,
+            )
 
             ious, dices, count = [], [], 0
             for eb in test_data.batches(eval_bs, letterbox_gt=True):
                 logits, _, _ = eval_step(eval_vars, shard_batch(mesh, eb["image"]))
-                probs = postprocess_logits(
-                    logits, jnp.asarray(eb["padding"]), args.size
-                )[..., 0]
+                paddings = jnp.asarray(eb["padding"])
+                probs = postprocess_logits(logits, paddings, args.size)[..., 0]
                 valid = np.arange(eval_bs) < eb["valid"]
+                # pixel mask -> reference-exact binarization (per-image
+                # min-max over the un-padded region, train.py:109-112), so
+                # the checkpoint-gate mIoU is the reference's metric
+                pix = letterbox_valid_mask(
+                    paddings, args.size, probs.shape[1], probs.shape[2]
+                )[..., 0]
                 iou, dice = batched_semantic_metrics(
                     probs, jnp.asarray(eb["gt_letterboxed"]),
-                    jnp.asarray(valid),
+                    jnp.asarray(valid), pix,
                 )
                 ious.append(np.asarray(iou))
                 dices.append(np.asarray(dice))
@@ -199,8 +239,10 @@ def main(args) -> None:
                     if (bi * eval_bs + j) % 10 == 0:
                         print(".", end="", flush=True)
             final_result = evaluate_dataset(results)
-        dt_eval = _time.perf_counter() - t_eval
-        print(f"\nepoch-{epoch + 1} eval: {final_result['images_count']} imgs "
+        dt_eval = time.perf_counter() - t_eval
+        # final_result['images_count'] is the GT *instance* count on the
+        # host path (reference quirk, eval.py:200) — report real images
+        print(f"\nepoch-{epoch + 1} eval: {test_data.count} imgs "
               f"in {dt_eval:.1f}s "
               f"({'host' if args.full_eval else 'device'} path)")
         epoch_name = f"epoch-{epoch + 1}_loss-{epoch_loss:.3f}"

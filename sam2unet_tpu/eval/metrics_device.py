@@ -20,10 +20,29 @@ def batched_semantic_metrics(
     pred_probs: jnp.ndarray,   # (B, H, W) in [0, 1] (or logits>thresholded)
     gt: jnp.ndarray,           # (B, H, W) in [0, 255] or {0,1}
     valid: jnp.ndarray,        # (B,) bool — padded batch entries masked out
+    pixel_valid: jnp.ndarray | None = None,  # (B, H, W) un-padded region
     threshold: float = 0.1,
 ):
-    """Returns per-image (iou (B,), dice (B,)); invalid entries are zero."""
-    p = pred_probs > threshold
+    """Returns per-image (iou (B,), dice (B,)); invalid entries are zero.
+
+    With `pixel_valid` the prediction binarization reproduces the
+    reference eval exactly (train.py:109-112 + eval.py binarize): per-image
+    min-max normalize over the UN-PADDED region, scale to 255, truncate to
+    uint8, threshold at 255*0.1 — without it, sigmoid probabilities are
+    thresholded raw (a different metric when outputs are uniformly
+    low/high confidence)."""
+    if pixel_valid is not None:
+        pf = pred_probs.astype(jnp.float32)
+        inf = jnp.float32(jnp.inf)
+        pmin = jnp.min(jnp.where(pixel_valid, pf, inf), axis=(1, 2),
+                       keepdims=True)
+        pmax = jnp.max(jnp.where(pixel_valid, pf, -inf), axis=(1, 2),
+                       keepdims=True)
+        norm = (pf - pmin) / (pmax - pmin + 1e-8)
+        # uint8 cast truncates, so "> 25.5" means floor(norm*255) >= 26
+        p = (jnp.floor(norm * 255.0) > 255.0 * threshold) & pixel_valid
+    else:
+        p = pred_probs > threshold
     g = gt > (255.0 * threshold if gt.dtype != jnp.bool_ else 0.5)
     inter = jnp.sum(p & g, axis=(1, 2)).astype(jnp.float32)
     union = jnp.sum(p | g, axis=(1, 2)).astype(jnp.float32)

@@ -205,6 +205,22 @@ def make_eval_step(
     return jax.jit(fwd, in_shardings=(repl, data), out_shardings=data)
 
 
+@partial(jax.jit, static_argnames=("size", "h", "w"))
+def letterbox_valid_mask(
+    paddings: jnp.ndarray, size: int, h: int, w: int
+) -> jnp.ndarray:
+    """(B, h, w, 1) bool — True inside the un-padded letterbox content.
+
+    paddings: (B, 4) int32 [left, top, right, bottom]."""
+    rows = jnp.arange(h)[None, :, None, None]
+    cols = jnp.arange(w)[None, None, :, None]
+    top = paddings[:, 1][:, None, None, None]
+    bot = (size - paddings[:, 3])[:, None, None, None]
+    left = paddings[:, 0][:, None, None, None]
+    right = (size - paddings[:, 2])[:, None, None, None]
+    return (rows >= top) & (rows < bot) & (cols >= left) & (cols < right)
+
+
 @partial(jax.jit, static_argnames=("size",))
 def postprocess_logits(
     logits: jnp.ndarray, paddings: jnp.ndarray, size: int
@@ -215,11 +231,5 @@ def postprocess_logits(
 
     paddings: (B, 4) int32 [left, top, right, bottom]."""
     b, h, w, _ = logits.shape
-    rows = jnp.arange(h)[None, :, None, None]
-    cols = jnp.arange(w)[None, None, :, None]
-    top = paddings[:, 1][:, None, None, None]
-    bot = (size - paddings[:, 3])[:, None, None, None]
-    left = paddings[:, 0][:, None, None, None]
-    right = (size - paddings[:, 2])[:, None, None, None]
-    valid = (rows >= top) & (rows < bot) & (cols >= left) & (cols < right)
+    valid = letterbox_valid_mask(paddings, size, h, w)
     return jnp.where(valid, jax.nn.sigmoid(logits.astype(jnp.float32)), 0.0)

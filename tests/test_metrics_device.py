@@ -29,3 +29,41 @@ def test_device_metrics_match_host():
         np.testing.assert_allclose(iou[i], r["semantic_iou"], atol=0.02)
         np.testing.assert_allclose(dice[i], r["dice_coefficient"], atol=0.02)
     assert iou[3] == 0.0 and dice[3] == 0.0
+
+
+def test_device_metrics_pixel_valid_matches_reference_exactly():
+    """With pixel_valid, the device binarization is BIT-EXACT with the
+    reference eval chain (train.py:109-112 min-max normalize over the
+    un-padded crop -> x255 -> uint8 truncate -> threshold 25.5), including
+    the uniformly-low-confidence case where raw prob thresholding gives a
+    different answer."""
+    rng = np.random.default_rng(3)
+    b, h, w = 3, 32, 48
+    # low-confidence sigmoid outputs: raw > 0.1 would be all-empty
+    preds = (rng.random((b, h, w)) * 0.08 + 0.01).astype(np.float32)
+    gts = (rng.random((b, h, w)) > 0.6).astype(np.float32) * 255
+    # per-image letterbox padding [left, top, right, bottom]
+    pads = np.array([[0, 0, 0, 0], [4, 2, 4, 2], [0, 8, 0, 0]], np.int32)
+    pix = np.zeros((b, h, w), bool)
+    for i, (l, t, r, bo) in enumerate(pads):
+        pix[i, t : h - bo, l : w - r] = True
+    gts *= pix  # letterboxed GT is zero in the pad region
+    valid = np.ones(b, bool)
+
+    iou, dice = batched_semantic_metrics(preds, gts, valid, pix)
+    raw_iou, _ = batched_semantic_metrics(preds, gts, valid)
+    assert np.all(np.asarray(raw_iou) == 0.0)  # the divergent old behavior
+
+    for i in range(b):
+        crop = preds[i][pix[i]].reshape(
+            h - pads[i, 1] - pads[i, 3], w - pads[i, 0] - pads[i, 2]
+        )
+        norm = (crop - crop.min()) / (crop.max() - crop.min() + 1e-8)
+        p8 = (norm * 255).astype(np.uint8) > 25.5      # reference chain
+        g = gts[i][pix[i]].reshape(p8.shape) > 25.5
+        inter = np.logical_and(p8, g).sum()
+        union = np.logical_or(p8, g).sum()
+        want = inter / union if union else 0.0
+        # the selected pixel SETS are bit-exact; only the final division
+        # differs (device f32 vs numpy f64)
+        np.testing.assert_allclose(float(iou[i]), want, rtol=1e-6)
