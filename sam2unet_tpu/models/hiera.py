@@ -161,8 +161,23 @@ class MultiScaleBlock(nn.Module):
 
             from sam2unet_tpu.ops.sp_attention import ring_sdpa
 
-            xn = layer_norm(self.dtype, name="norm1")(x)
-            qkv = attn.project_qkv(xn)
+            # raw-param form (same "norm1" scale/bias leaves as
+            # nn.LayerNorm) so the fork's hard trunk freeze applies here
+            # exactly like the fused branch: stop_gradient on the weights
+            # -> dx-only backward, no weight grads computed
+            ln1 = LNParams(self.dim, name="norm1")
+            wargs = (attn.qkv.kernel, attn.qkv.bias, ln1.scale, ln1.bias,
+                     attn.proj.kernel, attn.proj.bias)
+            if self.frozen:
+                wargs = tuple(jax.lax.stop_gradient(t) for t in wargs)
+            wq, bq, lns, lnb, wp, bp = wargs
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+            xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * lns + lnb).astype(
+                self.dtype
+            )
+            qkv = jnp.dot(xn, wq.astype(self.dtype)) + bq.astype(self.dtype)
             q, k, v = attn._split_heads(qkv, None)
             b = x.shape[0]
             sl = (h * w) // self.sp_degree
@@ -174,7 +189,10 @@ class MultiScaleBlock(nn.Module):
                 self.sp_axis,
             )
             o = lax.all_gather(o_loc, self.sp_axis, axis=1, tiled=True)
-            y = attn.project_out(o.reshape(b, h, w, -1))
+            y = jnp.dot(
+                o.reshape(b, h, w, -1).astype(self.dtype),
+                wp.astype(self.dtype),
+            ) + bp.astype(self.dtype)
             dp = DropPath(self.drop_path, name="drop_path")
             x = shortcut + dp(y, train)
 

@@ -115,7 +115,13 @@ class SAM2Base(nn.Module):
         )
         self.no_mem_embed = self.param("no_mem_embed", init, (1, 1, c.hidden_dim))
         self.no_mem_pos_enc = self.param("no_mem_pos_enc", init, (1, 1, c.hidden_dim))
-        if c.pred_obj_scores and c.use_obj_ptrs_in_encoder:
+        # the reference creates no_obj_ptr only under (pred_obj_scores AND
+        # use_obj_ptrs_in_encoder) yet reads it whenever pred_obj_scores —
+        # that combo crashes upstream (sam2_base.py:169-170 vs :390-399).
+        # Creating it under pred_obj_scores alone is strictly more robust
+        # and cannot affect converted checkpoints (none exist for the
+        # crashing combo).
+        if c.pred_obj_scores:
             self.no_obj_ptr = self.param("no_obj_ptr", init, (1, c.hidden_dim))
         if c.use_obj_ptrs_in_encoder:
             self.mask_downsample = nn.Conv(1, (4, 4), strides=4, dtype=dt,
@@ -290,11 +296,16 @@ class SAM2Base(nn.Module):
         if is_init_cond_frame:
             if c.directly_add_no_mem_embed:
                 return (feats + self.no_mem_embed).reshape(b, h, w, ch)
+            # memory tokens are mem_dim-wide (the k/v projections are built
+            # for them); the reference's expand(1, B, mem_dim) fallback
+            # (sam2_base.py:646-647) only type-checks when
+            # mem_dim == hidden_dim and crashes otherwise — slice to
+            # mem_dim so both cases run (identical where the reference ran)
             memory = jnp.broadcast_to(
-                self.no_mem_embed, (b, 1, c.hidden_dim)
+                self.no_mem_embed[:, :, : c.mem_dim], (b, 1, c.mem_dim)
             ).astype(self.dtype)
             memory_pos = jnp.broadcast_to(
-                self.no_mem_pos_enc, (b, 1, c.hidden_dim)
+                self.no_mem_pos_enc[:, :, : c.mem_dim], (b, 1, c.mem_dim)
             ).astype(self.dtype)
             num_obj_ptr_tokens = 0
             memory_valid = None

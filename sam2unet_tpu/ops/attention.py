@@ -1,11 +1,13 @@
 """Scaled dot-product attention entry point for the framework.
 
 One function, several backends:
-  - "xla":    jax.nn.dot_product_attention — XLA fuses the softmax chain and
-              batches the (B*num_windows) tiny window matmuls onto the MXU.
-  - "pallas": fused flash-attention Pallas kernel (ops/pallas/) for the
-              large-sequence global-attention blocks.
-  - "auto":   picks pallas on TPU for long sequences, else xla.
+  - "einsum": manual einsum chain with bf16 probabilities — what "auto"
+              resolves to everywhere: measured fastest at this model's
+              72-wide heads (docs/PERF.md "Measured and rejected"), and
+              the only path carrying the padded-key mask.
+  - "xla":    jax.nn.dot_product_attention.
+  - "pallas": fused flash-attention Pallas kernel (ops/pallas/) — kept
+              for experimentation; measured slower at head_dim 72.
 
 Numerics match torch.nn.functional.scaled_dot_product_attention with its
 default scale 1/sqrt(head_dim) (reference call sites: hieradet.py:70-74,

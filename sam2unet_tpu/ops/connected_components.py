@@ -15,8 +15,9 @@ with two equivalents sharing its contract:
     labeling runs as iterative min-label propagation — each step is a 3x3
     min-pool (one fused reduce_window) followed by a pointer-jumping hop
     `label <- label[label]` that squares the effective propagation distance,
-    giving O(log(H*W)) convergence instead of O(diameter). Fixed iteration
-    count keeps shapes/trip-counts static under jit.
+    giving O(log(H*W)) convergence instead of O(diameter). The loop is a
+    convergence-tested lax.while_loop (shapes static under jit; the trip
+    count is dynamic but bounded).
   - Host path (`label_components_native`): two-pass union-find in C++
     (csrc/ccl.cc) via ctypes, built by `python -m sam2unet_tpu.ops.build_native`
     (scipy fallback when the shared library is absent).
@@ -54,8 +55,9 @@ def label_components_jax(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """mask: (N, 1, H, W) (uint8/bool/int). Returns (labels, counts) int32.
 
-    num_iters: propagation rounds; None picks ceil(log2(H*W)) + 2 which is
-    sufficient for any component shape thanks to pointer jumping."""
+    num_iters: hard cap on propagation rounds (None -> H*W); the
+    while_loop exits as soon as the labels stop changing, which pointer
+    jumping reaches in ~log2(H*W) rounds for any component shape."""
     n, c, h, w = mask.shape
     assert c == 1, "expected (N, 1, H, W)"
     fg = (mask[:, 0] > 0)

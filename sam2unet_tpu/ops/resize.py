@@ -33,9 +33,3 @@ def resize(
         x = jnp.einsum("oh,bhwc->bowc", rh, x)
         x = jnp.einsum("pw,bowc->bopc", rw, x)
     return x[0] if squeeze else x
-
-
-def upsample2x(x: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
-    """Bilinear 2x upsample (U-Net decoder default: align_corners=True)."""
-    _, h, w, _ = x.shape
-    return resize(x, (2 * h, 2 * w), "bilinear", align_corners)

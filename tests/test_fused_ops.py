@@ -7,7 +7,6 @@ import numpy as np
 from sam2unet_tpu.ops.pallas.fused_mlp import _xla_mlp, fused_ln_matmul, fused_mlp
 from sam2unet_tpu.ops.windowing import (
     window_partition,
-    window_partition_fill,
     window_unpartition,
 )
 
@@ -187,7 +186,6 @@ def test_fused_window_block_matches_padded_window_path():
     )
     from sam2unet_tpu.ops.windowing import (
         window_merge_valid,
-        window_partition_fill,
         window_partition_valid,
         window_unpartition,
     )
@@ -216,7 +214,7 @@ def test_fused_window_block_matches_padded_window_path():
     mu = xf.mean(-1, keepdims=True)
     var = ((xf - mu) ** 2).mean(-1, keepdims=True)
     y = (xf - mu) / np.sqrt(np.asarray(var) + 1e-6) * lns + lnb
-    qkv_pad, pad_hw = window_partition_fill(y @ w_qkv, window, b_qkv)
+    qkv_pad, pad_hw = window_partition(y @ w_qkv, window)
     ref = x + window_unpartition(
         bound.attend(qkv_pad, bias=b_qkv), window, pad_hw, (h, w)
     )
@@ -355,7 +353,7 @@ def test_partition_fill_equals_project_after_pad():
     # ours: bias-free projection, zero-pad partition, bias added by the
     # consumer (attend's q/k/v slices) — simulate that final add here
     qkv_nobias = xn @ w
-    got, pad_hw2 = window_partition_fill(qkv_nobias, window, b)
+    got, pad_hw2 = window_partition(qkv_nobias, window)
     assert pad_hw == pad_hw2
     np.testing.assert_allclose(np.asarray(got + b), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)

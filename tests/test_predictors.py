@@ -182,6 +182,57 @@ def test_video_device_bank_matches_host_gather_path(tiny_sam2):
         )
 
 
+def test_pred_obj_scores_without_encoder_ptrs_runs():
+    """pred_obj_scores=True + use_obj_ptrs_in_encoder=False crashes the
+    torch reference (no_obj_ptr is only created under both flags yet read
+    under pred_obj_scores alone, sam2_base.py:169-170 vs :390-399); here
+    the param is created whenever it can be read."""
+    from sam2unet_tpu.build_sam import build_sam2
+    from sam2unet_tpu.predictors.image_predictor import SAM2ImagePredictor
+
+    cfg = SAM2Config(
+        image_size=64, hidden_dim=64, mem_dim=16,
+        pred_obj_scores=True, pred_obj_scores_mlp=True,
+        use_obj_ptrs_in_encoder=False,
+    )
+    model, variables = build_sam2("hiera_test", sam2_config=cfg,
+                                  trunk_cfg=HIERA_TEST)
+    pred = SAM2ImagePredictor(model, variables)
+    rng = np.random.default_rng(4)
+    pred.set_image((rng.random((48, 56, 3)) * 255).astype(np.uint8))
+    masks, ious, _ = pred.predict(
+        point_coords=np.array([[20.0, 25.0]]), point_labels=np.array([1]),
+        multimask_output=True,
+    )
+    assert masks.shape == (3, 48, 56)
+
+
+def test_video_without_directly_add_no_mem_embed():
+    """directly_add_no_mem_embed=False routes the first conditioning frame
+    through memory attention with no-memory tokens; those tokens must be
+    mem_dim-wide (the reference's expand() fallback only type-checks when
+    mem_dim == hidden_dim, sam2_base.py:646-647)."""
+    from sam2unet_tpu.build_sam import build_sam2
+    from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
+
+    cfg = SAM2Config(
+        image_size=64, hidden_dim=64, mem_dim=16,
+        max_obj_ptrs_in_encoder=4, directly_add_no_mem_embed=False,
+    )
+    model, variables = build_sam2("hiera_test", sam2_config=cfg,
+                                  trunk_cfg=HIERA_TEST)
+    pred = SAM2VideoPredictor(model, variables)
+    rng = np.random.default_rng(5)
+    frames = (rng.random((3, 40, 48, 3)) * 255).astype(np.uint8)
+    state = pred.init_state(images=frames)
+    pred.add_new_points(
+        state, frame_idx=0, obj_id=1,
+        points=np.array([[24.0, 20.0]]), labels=np.array([1]),
+    )
+    outs = {f: np.asarray(m) for f, _, m in pred.propagate_in_video(state)}
+    assert len(outs) == 3
+
+
 def test_video_pointer_overflow_two_cond_frames(tiny_sam2):
     """With >1 cond frame on a long-enough video, the reference attends to
     EVERY selected cond pointer PLUS up to max_obj_ptrs_in_encoder - 1
