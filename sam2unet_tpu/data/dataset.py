@@ -127,6 +127,13 @@ class EvalDataset:
 
     def __init__(self, image_root: str, gt_root: str, size: int):
         self.images, self.gts = _list_pairs(image_root, gt_root)
+        if len(self.images) != len(self.gts):
+            # fail fast: a shifted sorted pairing silently scores every
+            # image after the gap against the wrong mask
+            raise ValueError(
+                f"image/gt count mismatch: {len(self.images)} vs "
+                f"{len(self.gts)}"
+            )
         self.size = size
         self.index = 0
 
@@ -205,24 +212,32 @@ def _batched_prefetch(order, produce, batch_size, size, num_workers):
     out_q: queue.Queue = queue.Queue(maxsize=4)
 
     def worker():
-        with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            for start in range(0, n, batch_size):
-                idxs = order[start : start + batch_size]
-                results = list(pool.map(produce, idxs))
-                b = len(results)
-                images = np.zeros((batch_size, size, size, 3), np.float32)
-                labels = np.zeros((batch_size, size, size, 1), np.float32)
-                for j, (img, lbl) in enumerate(results):
-                    images[j] = img.transpose(1, 2, 0)
-                    labels[j] = lbl.transpose(1, 2, 0)
-                # wrap-fill the ragged tail so every compiled step sees the
-                # same static batch shape (pads are real samples repeated —
-                # a mild oversampling, vs torch's variable last batch)
-                for j in range(b, batch_size):
-                    images[j] = images[j % b]
-                    labels[j] = labels[j % b]
-                out_q.put(Batch(images, labels, valid=b))
-        out_q.put(None)
+        # any failure (corrupt image, missing file) must reach the consumer:
+        # the torch DataLoader this replaces propagates worker exceptions,
+        # and a silently dead producer would hang the training loop forever
+        # on out_q.get()
+        try:
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                for start in range(0, n, batch_size):
+                    idxs = order[start : start + batch_size]
+                    results = list(pool.map(produce, idxs))
+                    b = len(results)
+                    images = np.zeros((batch_size, size, size, 3), np.float32)
+                    labels = np.zeros((batch_size, size, size, 1), np.float32)
+                    for j, (img, lbl) in enumerate(results):
+                        images[j] = img.transpose(1, 2, 0)
+                        labels[j] = lbl.transpose(1, 2, 0)
+                    # wrap-fill the ragged tail so every compiled step sees
+                    # the same static batch shape (pads are real samples
+                    # repeated — a mild oversampling, vs torch's variable
+                    # last batch)
+                    for j in range(b, batch_size):
+                        images[j] = images[j % b]
+                        labels[j] = labels[j % b]
+                    out_q.put(Batch(images, labels, valid=b))
+            out_q.put(None)
+        except BaseException as e:  # noqa: BLE001 - forwarded, not swallowed
+            out_q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -230,4 +245,6 @@ def _batched_prefetch(order, produce, batch_size, size, num_workers):
         item = out_q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

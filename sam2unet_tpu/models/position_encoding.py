@@ -116,7 +116,16 @@ def apply_rotary_enc(
         return xq_out, xk
     if repeat_freqs_k and xk.shape[-2] != xq.shape[-2]:
         r = xk.shape[-2] // xq.shape[-2]
-        cos = jnp.tile(cos, (r, 1))
-        sin = jnp.tile(sin, (r, 1))
+        if r >= 1:
+            cos = jnp.tile(cos, (r, 1))
+            sin = jnp.tile(sin, (r, 1))
+        else:
+            # memory shorter than one grid (e.g. the single no-mem token
+            # when directly_add_no_mem_embed=False): rotate with the first
+            # nk frequency rows — position-0 angles are zero, so a 1-token
+            # memory gets the identity rotation. The reference repeats the
+            # freqs 0 times here and crashes on the size mismatch.
+            cos = cos[: xk.shape[-2]]
+            sin = sin[: xk.shape[-2]]
     xk_out = apply_rotary(xk.astype(jnp.float32), cos, sin).astype(xk.dtype)
     return xq_out, xk_out

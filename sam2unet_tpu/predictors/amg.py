@@ -140,6 +140,10 @@ class SAM2AutomaticMaskGenerator:
         x0, y0, x1, y1 = crop_box
         cropped = image[y0:y1, x0:x1, :]
         crop_size = cropped.shape[:2]
+        # NOTE: every distinct crop size compiles a fresh decode program
+        # (orig_hw is a static jit arg) through the slow remote compile
+        # service — with crop_n_layers >= 1 expect a few extra compiles per
+        # new image geometry on the first call (cached afterwards)
         self.predictor.set_image(cropped)
 
         points_scale = np.array(crop_size)[None, ::-1]
@@ -160,7 +164,11 @@ class SAM2AutomaticMaskGenerator:
 
         data["boxes"] = uncrop_boxes_xyxy(data["boxes"], crop_box)
         data["points"] = uncrop_points(data["points"], crop_box)
-        data["crop_boxes"] = np.asarray([crop_box] * len(data["rles"]))
+        # reshape keeps (0, 4) when the crop survives zero masks (a bare
+        # asarray gives (0,) and breaks cross-crop concatenation/indexing)
+        data["crop_boxes"] = np.asarray(
+            [crop_box] * len(data["rles"]), np.int64
+        ).reshape(-1, 4)
         return data
 
     def _process_batch(self, points, im_size, crop_box, orig_size) -> MaskData:

@@ -18,6 +18,38 @@ from sam2unet_tpu.models.sam2_base import SAM2Base
 from sam2unet_tpu.predictors.transforms import SAM2Transforms
 
 
+def _assemble_prompts(box_coords, point_coords, point_labels):
+    """Merge model-resolution box-corner tokens + point tokens into one
+    (B, P, 2)/(B, P) pair, ALWAYS appending the reference's pad point:
+    SAM2's image predictor merges boxes into corner points and calls the
+    prompt encoder with boxes=None, so pad=(boxes is None) is always True
+    (sam2_image_predictor.py:380-388, prompt_encoder.py:169) — including
+    for box prompts. With no prompts at all returns zero-length token
+    arrays (the reference's concat_points=None -> (B, 0, C) sparse)."""
+    pieces_c, pieces_l = [], []
+    if box_coords is not None:
+        bc = np.asarray(box_coords, np.float32).reshape(-1, 2, 2)
+        pieces_c.append(bc)
+        pieces_l.append(np.tile(np.array([[2, 3]], np.int32), (bc.shape[0], 1)))
+    if point_coords is not None:
+        pc = np.asarray(point_coords, np.float32)
+        if pc.ndim == 2:
+            pc = pc[None]
+        pl = np.asarray(point_labels, np.int32)
+        if pl.ndim == 1:
+            pl = pl[None]
+        pieces_c.append(pc)
+        pieces_l.append(pl)
+    if not pieces_c:
+        return np.zeros((1, 0, 2), np.float32), np.zeros((1, 0), np.int32)
+    coords = np.concatenate(pieces_c, axis=1)
+    labels = np.concatenate(pieces_l, axis=1)
+    b = coords.shape[0]
+    coords = np.concatenate([coords, np.zeros((b, 1, 2), np.float32)], axis=1)
+    labels = np.concatenate([labels, -np.ones((b, 1), np.int32)], axis=1)
+    return coords.astype(np.float32), labels.astype(np.int32)
+
+
 def _unpack_masks(full, hw) -> np.ndarray:
     """Device-postprocessed masks back to numpy: bit-packed uint8 rows
     (binarize path) are unpacked to bool at the original width; float
@@ -142,41 +174,19 @@ class SAM2ImagePredictor:
         return all_masks, all_ious, all_low
 
     def _prep_prompts(self, point_coords, point_labels, box, normalize, img_idx):
-        pieces_c, pieces_l = [], []
+        bc = None
         if box is not None:
             bc = self._transforms.transform_boxes(
                 box, normalize=normalize, orig_hw=self._orig_hw[img_idx]
-            )  # (1, 2, 2)
-            pieces_c.append(bc.reshape(1, 2, 2))
-            pieces_l.append(np.array([[2, 3]], np.int32))
+            ).reshape(1, 2, 2)
+        pc = None
         if point_coords is not None:
             assert point_labels is not None
             pc = self._transforms.transform_coords(
                 np.asarray(point_coords, np.float32),
                 normalize=normalize, orig_hw=self._orig_hw[img_idx],
             )
-            if pc.ndim == 2:
-                pc = pc[None]
-            pl = np.asarray(point_labels, np.int32)
-            if pl.ndim == 1:
-                pl = pl[None]
-            pieces_c.append(pc)
-            pieces_l.append(pl)
-        if not pieces_c:
-            coords = np.zeros((1, 1, 2), np.float32)
-            labels = -np.ones((1, 1), np.int32)
-            return coords, labels
-        coords = np.concatenate(pieces_c, axis=1)
-        labels = np.concatenate(pieces_l, axis=1)
-        if box is None:
-            # reference pads with a (-1) point when no box (prompt_encoder pad)
-            coords = np.concatenate(
-                [coords, np.zeros((coords.shape[0], 1, 2), np.float32)], axis=1
-            )
-            labels = np.concatenate(
-                [labels, -np.ones((labels.shape[0], 1), np.int32)], axis=1
-            )
-        return coords.astype(np.float32), labels.astype(np.int32)
+        return _assemble_prompts(bc, pc, point_labels)
 
     def _decode_fn(self, variables, image_embed, high0, high1, coords, labels,
                    mask_input, multimask_output, orig_hw=None, binarize=False,
@@ -229,10 +239,14 @@ class SAM2ImagePredictor:
                 thr = self.mask_threshold
                 hi = jnp.sum(full > (thr + stability_offset), axis=(-1, -2))
                 lo = jnp.sum(full > (thr - stability_offset), axis=(-1, -2))
+                # union == 0 (empty mask at the loose threshold) scores 0:
+                # the reference computes 0/0 = NaN there, which fails its
+                # >= thresh filter — score 0 drops the same candidates
+                # (sam2/utils/amg.py:158-178)
                 stability = jnp.where(
                     lo > 0,
                     hi.astype(jnp.float32) / jnp.maximum(lo, 1),
-                    1.0,
+                    0.0,
                 )
                 packed = pack(full > thr)
                 lr = low_res if with_low_res else low_res[:, :, :1, :1]
@@ -290,22 +304,12 @@ class SAM2ImagePredictor:
         (B, M, H, W), (B, M), (B, M, h, w)."""
         if self._features is None:
             raise RuntimeError("An image must be set with .set_image(...) first.")
-        pieces_c, pieces_l = [], []
-        if boxes is not None:
-            bc = np.asarray(boxes, np.float32).reshape(-1, 2, 2)
-            pieces_c.append(bc)
-            pieces_l.append(np.tile(np.array([[2, 3]], np.int32), (bc.shape[0], 1)))
-        if point_coords is not None:
-            pc = np.asarray(point_coords, np.float32)
-            pl = np.asarray(point_labels, np.int32)
-            pieces_c.append(pc)
-            pieces_l.append(pl)
-        coords = np.concatenate(pieces_c, axis=1) if len(pieces_c) > 1 else pieces_c[0]
-        labels = np.concatenate(pieces_l, axis=1) if len(pieces_l) > 1 else pieces_l[0]
-        if boxes is None:
-            b = coords.shape[0]
-            coords = np.concatenate([coords, np.zeros((b, 1, 2), np.float32)], axis=1)
-            labels = np.concatenate([labels, -np.ones((b, 1), np.int32)], axis=1)
+        coords, labels = _assemble_prompts(boxes, point_coords, point_labels)
+        if coords.shape[1] == 0 and mask_input is not None:
+            # mask-only prompting: B comes from the mask batch
+            b0 = np.asarray(mask_input).shape[0]
+            coords = np.zeros((b0, 0, 2), np.float32)
+            labels = np.zeros((b0, 0), np.int32)
 
         b = coords.shape[0]
         # batch-1 features broadcast against B prompts inside the decoder

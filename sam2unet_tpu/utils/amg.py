@@ -125,7 +125,10 @@ def calculate_stability_score(
     unions = ((masks > (mask_threshold - threshold_offset)).sum(-1).sum(-1)).astype(
         np.float64
     )
-    return np.where(unions > 0, intersections / np.maximum(unions, 1), 1.0)
+    # union == 0 (mask empty even at the loose threshold): the reference
+    # computes 0/0 = NaN, which fails its >= thresh filter — 0.0 drops the
+    # same candidates without propagating NaNs
+    return np.where(unions > 0, intersections / np.maximum(unions, 1), 0.0)
 
 
 def build_point_grid(n_per_side: int) -> np.ndarray:
@@ -203,10 +206,15 @@ def remove_small_regions(mask: np.ndarray, area_thresh: float, mode: str):
     # one bincount gives every component's area at once (the old
     # per-component counts[labels == i] probe was O(components * H * W))
     areas = np.bincount(labels.ravel())
-    small = (areas > 0) & (areas < area_thresh)
-    small[0] = False  # label 0 is background
+    fg = areas > 0
+    fg[0] = False  # label 0 is background
+    small = fg & (areas < area_thresh)
     if not small.any():
         return mask, False
+    if not correct_holes and small.sum() == fg.sum():
+        # every island is below threshold: keep the largest instead of
+        # emptying the mask (amg.py:288-291)
+        small[int(np.argmax(np.where(fg, areas, 0)))] = False
     fill = small[labels]
     mask = mask | fill if correct_holes else mask & ~fill
     return mask, True

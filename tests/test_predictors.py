@@ -182,6 +182,51 @@ def test_video_device_bank_matches_host_gather_path(tiny_sam2):
         )
 
 
+def test_prompt_assembly_reference_semantics():
+    """The reference merges boxes into corner points and calls the prompt
+    encoder with boxes=None, so the (-1) pad point is ALWAYS appended —
+    including for box prompts (sam2_image_predictor.py:380-388,
+    prompt_encoder.py:169) — and no-prompt calls produce ZERO sparse
+    tokens, not a lone pad token."""
+    from sam2unet_tpu.predictors.image_predictor import _assemble_prompts
+
+    box = np.array([[10.0, 20.0], [30.0, 40.0]])
+    c, l = _assemble_prompts(box, None, None)
+    assert l.tolist() == [[2, 3, -1]] and c.shape == (1, 3, 2)
+    assert np.all(c[0, 2] == 0)
+
+    c, l = _assemble_prompts(box, np.array([[5.0, 6.0]]), np.array([1]))
+    assert l.tolist() == [[2, 3, 1, -1]]
+
+    c, l = _assemble_prompts(None, np.array([[5.0, 6.0]]), np.array([1]))
+    assert l.tolist() == [[1, -1]]
+
+    c, l = _assemble_prompts(None, None, None)
+    assert c.shape == (1, 0, 2) and l.shape == (1, 0)
+
+
+def test_mask_only_prompt_runs(tiny_sam2):
+    """Prompting with a mask alone (no points/box) is a reference-supported
+    combination (concat_points=None); it must run with zero sparse tokens."""
+    from sam2unet_tpu.predictors.image_predictor import SAM2ImagePredictor
+
+    model, variables = tiny_sam2
+    pred = SAM2ImagePredictor(model, variables)
+    rng = np.random.default_rng(6)
+    pred.set_image((rng.random((48, 56, 3)) * 255).astype(np.uint8))
+    _, ious, low = pred.predict(
+        point_coords=np.array([[20.0, 25.0]]), point_labels=np.array([1]),
+        multimask_output=True,
+    )
+    best = low[np.argmax(ious)][None]
+    masks, _, _ = pred.predict(mask_input=best, multimask_output=False)
+    assert masks.shape == (1, 48, 56)
+    # batched low-level path, mask-only
+    m2, _, _ = pred._predict(None, None, mask_input=best[None],
+                             multimask_output=False)
+    assert m2.shape[0] == 1
+
+
 def test_pred_obj_scores_without_encoder_ptrs_runs():
     """pred_obj_scores=True + use_obj_ptrs_in_encoder=False crashes the
     torch reference (no_obj_ptr is only created under both flags yet read
