@@ -44,10 +44,13 @@ struct UnionFind {
 extern "C" {
 
 // mask: (h, w) uint8; labels/counts: (h, w) int32, fully overwritten.
-// Returns the number of components.
+// Returns the number of components, or -1 for unsupported sizes.
 int32_t ccl_label_u8(const uint8_t* mask, int32_t* labels, int32_t* counts,
                      int32_t h, int32_t w) {
   const size_t n = static_cast<size_t>(h) * w;
+  // pixel indices are carried as int32: refuse sizes that would wrap
+  // (callers fall back to the scipy path on a negative return)
+  if (h < 0 || w < 0 || n > static_cast<size_t>(INT32_MAX)) return -1;
   UnionFind uf(n);
 
   for (int32_t y = 0; y < h; ++y) {

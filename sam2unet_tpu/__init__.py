@@ -18,6 +18,13 @@ Layering (bottom-up):
     interop/   torch checkpoint converter, export
 """
 
-__version__ = "0.1.0"
+# single-sourced from the installed distribution (pyproject.toml); the
+# fallback covers running from a source checkout without installation
+try:
+    from importlib.metadata import version as _dist_version
+
+    __version__ = _dist_version("sam2unet-tpu")
+except Exception:  # pragma: no cover - uninstalled source tree
+    __version__ = "0.2.0"
 
 from sam2unet_tpu.configs import registry as config_registry  # noqa: F401

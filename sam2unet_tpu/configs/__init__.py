@@ -52,7 +52,10 @@ class HieraConfig:
 
     @property
     def channel_list(self) -> tuple[int, ...]:
-        """Per-stage output channels, low-res first (reverse of strides)."""
+        """Per-stage output channels in STAGE order (high-res / smallest
+        dim first: embed_dim, embed_dim*2, ...). The FPN's
+        backbone_channel_list wants the reverse (models/fpn.py applies
+        it)."""
         dims = [int(self.embed_dim * self.dim_mul**i) for i in range(len(self.stages))]
         return tuple(dims)
 

@@ -31,10 +31,11 @@ import yaml
 
 
 def _locate(path: str) -> Any:
-    """Import `pkg.mod.Attr` (rightmost dot splits module from attribute,
-    walking left while the module import fails — hydra's resolution rule)."""
+    """Import `pkg.mod.Attr` like hydra: try the longest module prefix
+    first (including the full path — the target may itself be a submodule
+    not re-exported by its parent), resolving the rest via getattr."""
     parts = path.split(".")
-    for split in range(len(parts) - 1, 0, -1):
+    for split in range(len(parts), 0, -1):
         mod_name = ".".join(parts[:split])
         try:
             obj = importlib.import_module(mod_name)
@@ -44,7 +45,7 @@ def _locate(path: str) -> Any:
             for attr in parts[split:]:
                 obj = getattr(obj, attr)
         except AttributeError:
-            break
+            continue  # a shorter prefix may still import the missing attr
         return obj
     raise ImportError(f"cannot locate _target_ '{path}'")
 

@@ -74,6 +74,10 @@ def decode_jpeg(path: str) -> np.ndarray | None:
     if lib.dl_jpeg_info(_u8p(buf), buf.size, ctypes.byref(h),
                         ctypes.byref(w)) != 0:
         return None
+    if h.value * w.value * 3 > 2**31 - 1:
+        # the C ABI carries sizes as int32; a (possibly corrupt) header
+        # declaring a >700 Mpx image must fall back to PIL, not overflow
+        return None
     out = np.empty((h.value, w.value, 3), np.uint8)
     if lib.dl_jpeg_decode(_u8p(buf), buf.size, _u8p(out), out.size) != 0:
         return None

@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -139,7 +140,10 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.fused and self.num_layers == 2 and not self.sigmoid_output:
+        # the fused kernel hardcodes GELU — never reroute another
+        # activation through it (silent nonlinearity swap)
+        if (self.fused and self.num_layers == 2 and not self.sigmoid_output
+                and self.activation in (gelu, nn.gelu)):
             from sam2unet_tpu.ops.pallas.fused_mlp import fused_mlp
 
             d_in = x.shape[-1]
@@ -187,8 +191,13 @@ class DropPath(nn.Module):
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jnp.floor(keep + jnp.asarray(nn.initializers.uniform(1.0)(rng, shape)))
-        return x / keep * mask
+        # mask in x.dtype: an f32 mask would promote the bf16 residual
+        # stream to f32 for every downstream block (torch drop_path
+        # preserves dtype too)
+        mask = jnp.floor(
+            keep + jax.random.uniform(rng, shape, dtype=jnp.float32)
+        ).astype(x.dtype)
+        return x / jnp.asarray(keep, x.dtype) * mask
 
 
 def layer_norm(dtype=jnp.float32, name: str | None = None) -> nn.LayerNorm:

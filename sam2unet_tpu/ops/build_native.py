@@ -21,9 +21,14 @@ import subprocess
 import sys
 
 
-def _compile(src: str, out: str, extra: list[str], verbose: bool) -> str:
+def _compile(src: str, out: str, extra: list[str], verbose: bool,
+             portable: bool = False) -> str:
+    # portable=True (wheel builds): baseline x86-64 codegen so the wheel
+    # runs on any machine of its platform tag — -march=native binaries
+    # SIGILL on older hosts. Dev builds keep native tuning.
+    arch = "-march=x86-64" if portable else "-march=native"
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", arch, "-shared", "-fPIC",
         "-std=c++17", src, "-o", out, *extra,
     ]
     if verbose:
@@ -32,22 +37,24 @@ def _compile(src: str, out: str, extra: list[str], verbose: bool) -> str:
     return out
 
 
-def compile_sources(csrc: str, out_dir: str, verbose: bool = True) -> list[str]:
+def compile_sources(csrc: str, out_dir: str, verbose: bool = True,
+                    portable: bool = False) -> list[str]:
     """Compile every native target from `csrc` into `out_dir`.
 
     libdataload.so is best-effort (needs libjpeg); libccl.so is required —
-    a compile failure there raises.
+    a compile failure there raises. `portable` selects baseline-ISA
+    codegen for distributable wheels.
     """
     os.makedirs(out_dir, exist_ok=True)
     built = [
         _compile(os.path.join(csrc, "ccl.cc"),
-                 os.path.join(out_dir, "libccl.so"), [], verbose)
+                 os.path.join(out_dir, "libccl.so"), [], verbose, portable)
     ]
     try:
         built.append(
             _compile(os.path.join(csrc, "dataload.cc"),
                      os.path.join(out_dir, "libdataload.so"), ["-ljpeg"],
-                     verbose)
+                     verbose, portable)
         )
     except subprocess.CalledProcessError:
         print("libdataload.so skipped (libjpeg not available); "

@@ -148,7 +148,9 @@ def label_components_native(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     counts = np.zeros((n, h, w), np.int32)
 
     lib = _load_native()
-    if lib:
+    # the C ABI carries pixel indices as int32 — gigapixel masks take the
+    # scipy path instead of overflowing
+    if lib and h * w <= 2**31 - 1:
         for i in range(n):
             lib.ccl_label_u8(
                 m[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

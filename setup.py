@@ -40,10 +40,20 @@ class build_py_with_native(build_py):
         try:
             from sam2unet_tpu.ops.build_native import compile_sources
 
-            compile_sources(csrc, out_dir, verbose=True)
+            # portable codegen: the wheel must run on any machine of its
+            # platform tag, not just hosts with this builder's ISA
+            compile_sources(csrc, out_dir, verbose=True, portable=True)
         except Exception as exc:  # toolchain absent -> pure-Python wheel
             print(f"native build skipped ({exc}); pure-Python wheel "
                   "(scipy/PIL fallbacks stay in use)")
+            # drop any stale dev-built .so copied in by package_data —
+            # shipping another machine's -march=native binaries would
+            # SIGILL instead of engaging the advertised fallbacks
+            import glob
+
+            for so in glob.glob(os.path.join(out_dir, "*.so")):
+                os.remove(so)
+                print(f"removed stale {so} from the wheel")
 
 
 setup(cmdclass={"build_py": build_py_with_native},
