@@ -152,11 +152,20 @@ class SAM2VideoPredictor:
         outputs (mask memory, low-res masks, pointers) are pulled to host
         numpy eagerly instead of accumulating as device arrays (the
         reference's storage_device=cpu, sam2_video_predictor.py:801-813;
-        trades HBM growth for per-frame readback)."""
+        trades HBM growth for per-frame readback).
+        async_loading_frames: with a video_path, return after decoding the
+        first frame and prefetch the rest on a thread (misc.py:104-160);
+        frame access blocks until the frame is decoded."""
         if images is None:
-            from sam2unet_tpu.utils.video import load_video_frames
+            if async_loading_frames:
+                from sam2unet_tpu.utils.video import AsyncVideoFrameLoader
 
-            images, orig_h, orig_w = load_video_frames(video_path)
+                images = AsyncVideoFrameLoader(video_path)
+                orig_h, orig_w = images.video_height, images.video_width
+            else:
+                from sam2unet_tpu.utils.video import load_video_frames
+
+                images, orig_h, orig_w = load_video_frames(video_path)
         else:
             orig_h, orig_w = images.shape[1:3]
         state = {
@@ -418,6 +427,7 @@ class SAM2VideoPredictor:
                 (batch_size, self.cfg.hidden_dim), NO_OBJ_SCORE, np.float32
             ),
         }
+        empty_mask_ptr = None
         for obj_idx in range(batch_size):
             obj_temp = state["temp_output_dict_per_obj"][obj_idx]
             out = obj_temp[storage_key].get(frame_idx)
@@ -430,6 +440,19 @@ class SAM2VideoPredictor:
                     "non_cond_frame_outputs"
                 ].get(frame_idx)
             if out is None:
+                # object has no output on this frame: when building memory,
+                # fill its pointer from an empty-mask dummy prediction —
+                # leaving the NO_OBJ_SCORE fill would inject a +-1024
+                # garbage token into cross-attention
+                # (sam2_video_predictor.py:426-438)
+                if run_mem_encoder:
+                    if empty_mask_ptr is None:
+                        empty_mask_ptr = self._get_empty_mask_ptr(
+                            state, frame_idx
+                        )
+                    consolidated["obj_ptr"][obj_idx : obj_idx + 1] = (
+                        empty_mask_ptr
+                    )
                 continue
             masks = out["pred_masks"]
             if masks.shape[-2:] != (mh, mw):
@@ -452,7 +475,9 @@ class SAM2VideoPredictor:
                 (self.cfg.image_size, self.cfg.image_size),
                 "bilinear",
             )
-            if self.non_overlap_masks_for_mem(batch_size):
+            if self.cfg.non_overlap_masks_for_mem_enc:
+                # gated on the config like the reference
+                # (sam2_video_predictor.py:459,465) — NOT on multi-object
                 hi = np.asarray(
                     SAM2Base.apply_non_overlapping_constraints(jnp.asarray(hi))
                 )
@@ -463,8 +488,25 @@ class SAM2VideoPredictor:
             consolidated["maskmem_pos_enc"] = pos
         return consolidated
 
-    def non_overlap_masks_for_mem(self, batch_size: int) -> bool:
-        return batch_size > 1
+    def _get_empty_mask_ptr(self, state, frame_idx: int) -> np.ndarray:
+        """Dummy object pointer from an all-empty mask on this frame
+        (sam2_video_predictor.py:479-512)."""
+        cfg = self.cfg
+        mask_inputs = np.zeros(
+            (1, 1, cfg.image_size, cfg.image_size), np.float32
+        )
+        out = self._run_single_frame_inference(
+            state,
+            output_dict={},
+            frame_idx=frame_idx,
+            batch_size=1,
+            is_init_cond_frame=True,
+            point_inputs=None,
+            mask_inputs=mask_inputs,
+            reverse=False,
+            run_mem_encoder=False,
+        )
+        return out["obj_ptr"]
 
     # ---------------------------------------------------------- main loop
 
@@ -488,33 +530,46 @@ class SAM2VideoPredictor:
             storage_key = (
                 "cond_frame_outputs" if is_cond else "non_cond_frame_outputs"
             )
+            # consolidated_frame_inds accumulates ONLY the input frames
+            # (fresh clicks/masks): the propagation loop treats membership
+            # as "serve the cached output" — marking every tracked frame
+            # here (an earlier bug) made re-propagation after a correction
+            # return stale pre-correction masks instead of re-tracking
+            # (sam2_video_predictor.py:528-538).
+            state["consolidated_frame_inds"][storage_key].update(
+                temp_frame_inds[storage_key]
+            )
             for frame_idx in sorted(temp_frame_inds[storage_key]):
                 consolidated = self._consolidate_temp_output_across_obj(
                     state, frame_idx, is_cond=is_cond, run_mem_encoder=True
                 )
-                state["output_dict"][storage_key][frame_idx] = consolidated
-                self._add_output_per_object(
-                    state, frame_idx, consolidated, storage_key
-                )
+                # clear the stale pre-correction neighborhood BEFORE
+                # storing: the reference clears after, which pops a
+                # non-cond input frame's own just-consolidated output and
+                # crashes its propagation loop (KeyError) in the
+                # correction-while-clearing workflow
                 clear_non_cond = self.clear_non_cond_mem_around_input and (
                     self.clear_non_cond_mem_for_multi_obj or batch_size <= 1
                 )
                 if clear_non_cond:
                     self._clear_non_cond_mem_around_input(state, frame_idx)
+                state["output_dict"][storage_key][frame_idx] = consolidated
+                self._add_output_per_object(
+                    state, frame_idx, consolidated, storage_key
+                )
             for obj_temp in state["temp_output_dict_per_obj"].values():
                 obj_temp[storage_key].clear()
 
-        # cond frames override non-cond entries
+        # cond frames override non-cond entries (incl. the consolidated
+        # index, sam2_video_predictor.py:561-569)
         for frame_idx in state["output_dict"]["cond_frame_outputs"]:
             state["output_dict"]["non_cond_frame_outputs"].pop(frame_idx, None)
             for obj_out in state["output_dict_per_obj"].values():
                 obj_out["non_cond_frame_outputs"].pop(frame_idx, None)
-        state["consolidated_frame_inds"]["cond_frame_outputs"] = set(
-            state["output_dict"]["cond_frame_outputs"]
-        )
-        state["consolidated_frame_inds"]["non_cond_frame_outputs"] = set(
-            state["output_dict"]["non_cond_frame_outputs"]
-        )
+        for frame_idx in state["consolidated_frame_inds"]["cond_frame_outputs"]:
+            state["consolidated_frame_inds"]["non_cond_frame_outputs"].discard(
+                frame_idx
+            )
 
     def propagate_in_video(
         self,
@@ -680,12 +735,18 @@ class SAM2VideoPredictor:
             state["output_dict_per_obj"][obj_idx][storage_key][frame_idx] = obj_out
 
     def _clear_non_cond_mem_around_input(self, state, frame_idx):
-        """(sam2_video_predictor.py:881-898)."""
+        """(sam2_video_predictor.py:881-898). Frames holding consolidated
+        INPUT outputs (fresh clicks) are preserved: they are authoritative
+        post-correction results the propagation loop serves from cache —
+        the reference pops them too and then KeyErrors on that cache read."""
         r = self.cfg.memory_temporal_stride_for_eval
         frame_idx_begin = frame_idx - r * self.cfg.num_maskmem
         frame_idx_end = frame_idx + r * self.cfg.num_maskmem
         non_cond = state["output_dict"]["non_cond_frame_outputs"]
+        keep = state["consolidated_frame_inds"]["non_cond_frame_outputs"]
         for t in range(frame_idx_begin, frame_idx_end + 1):
+            if t == frame_idx or t in keep:
+                continue
             non_cond.pop(t, None)
             for obj_out in state["output_dict_per_obj"].values():
                 obj_out["non_cond_frame_outputs"].pop(t, None)
@@ -902,6 +963,15 @@ class SAM2VideoPredictor:
             if prev_sam_mask_logits is not None:
                 mi = jnp.asarray(
                     np.asarray(prev_sam_mask_logits, np.float32).transpose(0, 2, 3, 1)
+                )
+            elif mask_inputs is not None:
+                # use_mask_input_as_output_without_sam=False: the provided
+                # mask is the SAM dense prompt (sam2_base.py:758-767)
+                mi = jnp.asarray(
+                    np.broadcast_to(
+                        np.asarray(mask_inputs, np.float32).transpose(0, 2, 3, 1),
+                        (batch_size, *mask_inputs.shape[2:], 1),
+                    )
                 )
             if point_inputs is not None:
                 coords = jnp.asarray(point_inputs["point_coords"])

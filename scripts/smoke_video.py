@@ -86,12 +86,24 @@ def main():
     print(f"areas {areas}")
     assert len(areas) == args.frames
 
+    # reverse from a MID-video start (reverse from frame 0 would yield
+    # nothing — all prompts sit on frame 0); this actually re-tracks
+    # frames mid..0 through the reverse gather-meta/ring path
+    rev_start = args.frames // 2
     t0 = time.time()
-    rev = [f for f, _, _ in pred.propagate_in_video(state, reverse=True)]
-    print(f"reverse {time.time() - t0:.1f}s frames {rev}")
+    rev = [
+        f for f, _, _ in pred.propagate_in_video(
+            state, start_frame_idx=rev_start, reverse=True
+        )
+    ]
+    print(f"reverse from {rev_start}: {time.time() - t0:.1f}s frames {rev}")
+    assert rev == list(range(rev_start, -1, -1)), rev
 
     # packed-yield A/B: fully materialize the masks each frame (readback
-    # included), float path vs bit-packed path
+    # included), float path vs bit-packed path. Each propagate call
+    # RE-TRACKS every non-input frame (reference semantics — only frames
+    # with fresh clicks are served from cache), so both drains exercise
+    # the real device tracking + readback path, not cached outputs.
     def drain(**kw):
         t0 = time.time()
         times = []

@@ -314,6 +314,39 @@ def test_video_pointer_overflow_two_cond_frames(tiny_sam2):
         )
 
 
+def test_repropagation_retracks_instead_of_serving_cache(tiny_sam2):
+    """Only frames with fresh inputs are served from cache on propagation
+    (reference consolidated_frame_inds semantics): a second propagate call
+    must RE-TRACK every non-input frame — an earlier bug marked all
+    tracked frames consolidated, so corrections never propagated."""
+    from unittest import mock
+
+    from sam2unet_tpu.predictors.video_predictor import SAM2VideoPredictor
+
+    model, variables = tiny_sam2
+    rng = np.random.default_rng(13)
+    frames = (rng.random((4, 40, 48, 3)) * 255).astype(np.uint8)
+    pred = SAM2VideoPredictor(model, variables, device_resident=False)
+    state = pred.init_state(images=frames)
+    pred.add_new_points(
+        state, frame_idx=0, obj_id=1,
+        points=np.array([[24.0, 20.0]]), labels=np.array([1]),
+    )
+    list(pred.propagate_in_video(state))
+
+    calls = {"n": 0}
+    orig = pred._run_single_frame_inference
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    with mock.patch.object(pred, "_run_single_frame_inference", spy):
+        list(pred.propagate_in_video(state))
+    # 4 frames, 1 input frame -> 3 re-tracked (not 0 = stale cache)
+    assert calls["n"] == 3, calls
+
+
 def test_video_packed_mask_yield_matches_float(tiny_sam2):
     """yield_packed_masks=True returns bit-packed (mask > 0) along width;
     np.unpackbits must reproduce the float path's binarization."""
