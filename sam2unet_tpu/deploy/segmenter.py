@@ -90,6 +90,7 @@ class BaseSegmenter(abc.ABC, ModelMixin):
     def __init__(self, model_path: str, input_size: int = 960,
                  backend: str = "stablehlo"):
         self.input_size = input_size
+        self.last_process_time = 0.0  # defined before the first segment()
         self.load(model_path, backend)
 
     @abc.abstractmethod
@@ -118,8 +119,8 @@ class SamUnetSegmenter(BaseSegmenter):
         bottom, right = pad_h - top, pad_w - left
         canvas = np.zeros((3, self.input_size, self.input_size), np.float32)
         canvas[:, top : top + nh, left : left + nw] = resized
-        nchw = normalize_image(canvas.transpose(1, 2, 0))
-        return nchw[None], (left, top, right, bottom), (h, w)
+        normed = normalize_image(canvas.transpose(1, 2, 0))  # HWC normalized
+        return normed[None], (left, top, right, bottom), (h, w)
 
     def segment(self, image: np.ndarray) -> np.ndarray:
         """Returns a uint8 {0,255} mask at the input resolution; zeros on

@@ -89,7 +89,6 @@ def verify_export(model, variables: dict, size: int, path: str,
         got = np.asarray(exported[name])
         np.testing.assert_allclose(got, np.asarray(ref), rtol=rtol, atol=atol)
         max_diff = max(max_diff, float(np.abs(got - np.asarray(ref)).max()))
-    del jax
     return max_diff
 
 

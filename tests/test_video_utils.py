@@ -57,3 +57,16 @@ def test_video_predictor_accepts_path(frame_dir):
     state = pred.init_state(video_path=str(frame_dir))
     assert state["num_frames"] == 5
     assert (state["video_height"], state["video_width"]) == (24, 32)
+
+    # async loading (misc.py:104-160): same state contract, frames arrive
+    # via the prefetching loader and full propagation works over it
+    state_a = pred.init_state(video_path=str(frame_dir),
+                              async_loading_frames=True)
+    assert state_a["num_frames"] == 5
+    assert (state_a["video_height"], state_a["video_width"]) == (24, 32)
+    pred.add_new_points(
+        state_a, frame_idx=0, obj_id=1,
+        points=np.array([[16.0, 12.0]]), labels=np.array([1]),
+    )
+    outs = {f for f, _, _ in pred.propagate_in_video(state_a)}
+    assert outs == {0, 1, 2, 3, 4}
