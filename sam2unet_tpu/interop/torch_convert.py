@@ -294,19 +294,33 @@ def _torch_tree_to_numpy(obj):
 
 
 def validate_against(template: dict, converted: dict, scope: str = "") -> None:
-    """Strict key check mirroring build_sam.py:82-88: raise on any missing or
-    unexpected leaf path."""
+    """Strict key AND shape check mirroring torch load_state_dict(strict):
+    raise on any missing/unexpected leaf path or shape-divergent leaf
+    (build_sam.py:82-88 names the keys; torch also rejects wrong shapes —
+    without this, a checkpoint from a different architecture variant loads
+    'cleanly' and dies later inside a jitted apply)."""
     import jax
 
-    t_paths = {jax.tree_util.keystr(p) for p, _ in
-               jax.tree_util.tree_flatten_with_path(template)[0]}
-    c_paths = {jax.tree_util.keystr(p) for p, _ in
-               jax.tree_util.tree_flatten_with_path(converted)[0]}
-    missing = sorted(t_paths - c_paths)
-    unexpected = sorted(c_paths - t_paths)
+    t_leaves = {jax.tree_util.keystr(p): v for p, v in
+                jax.tree_util.tree_flatten_with_path(template)[0]}
+    c_leaves = {jax.tree_util.keystr(p): v for p, v in
+                jax.tree_util.tree_flatten_with_path(converted)[0]}
+    missing = sorted(set(t_leaves) - set(c_leaves))
+    unexpected = sorted(set(c_leaves) - set(t_leaves))
     if missing or unexpected:
         raise RuntimeError(
             f"strict load failed{f' ({scope})' if scope else ''}: "
             f"missing={missing[:8]}{'...' if len(missing) > 8 else ''} "
             f"unexpected={unexpected[:8]}{'...' if len(unexpected) > 8 else ''}"
+        )
+    bad_shapes = [
+        f"{k}: {np.shape(c_leaves[k])} != {np.shape(t_leaves[k])}"
+        for k in t_leaves
+        if np.shape(c_leaves[k]) != np.shape(t_leaves[k])
+    ]
+    if bad_shapes:
+        raise RuntimeError(
+            f"strict load failed{f' ({scope})' if scope else ''}: "
+            f"shape mismatches {bad_shapes[:8]}"
+            f"{'...' if len(bad_shapes) > 8 else ''}"
         )

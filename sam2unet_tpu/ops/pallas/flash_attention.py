@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_FULL_SEQ = 1024
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, g: int):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     # refs: (G, S, D) in VMEM; one batched dot_general covers all G rows per
     # grid step (no unrolling — Mosaic lowers the batch dim natively), so
     # the grid-step overhead amortizes over G*2 matmuls.
@@ -83,7 +83,7 @@ def _fused_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     g = _pick_group(n, sq, sk, d, q.dtype.itemsize)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, g=g),
+        functools.partial(_kernel, scale=scale),
         grid=(n // g,),
         in_specs=[
             pl.BlockSpec((g, sq, d), lambda i: (i, 0, 0),
@@ -106,18 +106,14 @@ def _fused_full(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _xla_attention(q, k, v, scale=None, key_valid=None):
-    """Manual-einsum attention tuned for HBM traffic.
-
-    In reduced precision (bf16 inputs) the S x S intermediates are stored
-    bf16 and the softmax division folds into the *output* —
-    softmax(s) @ V == (exp(s - m) @ V) / rowsum — so no probability tensor
-    ever exists; only the compact (S, D) output gets divided. Halves the
-    score-matrix bytes vs fp32 softmax. In fp32 (parity tests) the exact
-    fp32 softmax runs instead.
+    """Manual-einsum attention: fp32 scores + jax.nn.softmax, probabilities
+    cast to the value dtype for the output matmul.
 
     Outperforms both jax.nn.dot_product_attention and the fused Pallas
     kernel at this model's head width (72 lanes under-fills the MXU;
-    measured on v5e). Also serves as the custom-VJP recompute."""
+    measured on v5e). Also serves as the custom-VJP recompute. See the
+    NOTE below: a hand-split bf16-score/folded-division variant was
+    measured SLOWER and rejected."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     # NOTE: a bf16-score variant (bf16 S/exp tensors, softmax division folded
@@ -140,8 +136,10 @@ def attention_with_padkey(
     v: jnp.ndarray,
     k_pad: jnp.ndarray,
     v_pad: jnp.ndarray,
-    n_pad: int,
+    n_pad: int | None = None,
     scale: float | None = None,
+    attn_mask: jnp.ndarray | None = None,
+    pad_logmult: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Attention over valid tokens plus ONE synthetic pad key per head.
 
@@ -154,15 +152,26 @@ def attention_with_padkey(
     the remainder windows.
 
     q/k/v: (B, S, H, D) valid tokens; k_pad/v_pad: (H, D) per-head bias.
+    Exactly one of `n_pad` (shared multiplicity) or `pad_logmult` ((1, S)
+    additive per-query log-multiplicity, -1e30 where a query's window has
+    no pads) must be given; `attn_mask` ((S, S) additive, e.g. the
+    block-diagonal whole-grid window mask) applies to the real keys.
     """
+    assert (n_pad is None) != (pad_logmult is None), \
+        "pass exactly one of n_pad / pad_logmult"
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     s = jnp.einsum("bqhd,bkhd->bqhk", q, k,
                    preferred_element_type=jnp.float32) * scale
+    if attn_mask is not None:
+        s = s + attn_mask[None, :, None, :]
     # synthetic key: logit of the shared pad token + its log-multiplicity
     s_pad = jnp.einsum("bqhd,hd->bqh", q, k_pad.astype(q.dtype),
                        preferred_element_type=jnp.float32) * scale
-    s_pad = s_pad + math.log(n_pad)
+    if pad_logmult is not None:
+        s_pad = s_pad + pad_logmult.reshape(-1)[None, :, None]
+    else:
+        s_pad = s_pad + math.log(n_pad)
     p = jax.nn.softmax(jnp.concatenate([s, s_pad[..., None]], axis=-1), axis=-1)
     out = jnp.einsum("bqhk,bkhd->bqhd", p[..., :-1].astype(v.dtype), v)
     return out + p[..., -1:].astype(v.dtype) * v_pad.astype(v.dtype)

@@ -170,18 +170,12 @@ def _xla_window_block(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
     qkv = (qkv + b_qkv).astype(x.dtype).reshape(nw, s, 3, num_heads, d)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if attn_mask is not None:
+        # whole-grid masked mode: same augmented-softmax algebra as the
+        # scalar-n_pad path, parameterized by the per-query log-multiplicity
         b3 = b_qkv.reshape(3, num_heads, d)
-        scale = 1.0 / math.sqrt(d)
-        sc = jnp.einsum("bqhd,bkhd->bqhk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-        sc = sc + attn_mask[None, :, None, :]
-        sp = jnp.einsum("bqhd,hd->bqh", q, b3[1].astype(q.dtype),
-                        preferred_element_type=jnp.float32) * scale
-        sp = sp + pad_logmult.reshape(-1)[None, :, None]
-        pfull = jax.nn.softmax(
-            jnp.concatenate([sc, sp[..., None]], axis=-1), axis=-1)
-        o = jnp.einsum("bqhk,bkhd->bqhd", pfull[..., :-1].astype(v.dtype), v)
-        o = o + pfull[..., -1:].astype(v.dtype) * b3[2].astype(v.dtype)
+        o = attention_with_padkey(q, k, v, b3[1], b3[2],
+                                  attn_mask=attn_mask,
+                                  pad_logmult=pad_logmult)
     elif n_pad:
         b3 = b_qkv.reshape(3, num_heads, d)
         o = attention_with_padkey(q, k, v, b3[1], b3[2], n_pad)
@@ -476,8 +470,11 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
         dw_ref[hq, 0] = dw_ref[hq, 0] + dW(dqf)[None]
         dw_ref[hq, 1] = dw_ref[hq, 1] + dW(dkf)[None]
         dw_ref[hq, 2] = dw_ref[hq, 2] + dW(dvf)[None]
+        # bias grads sum the f32 dq/dk/dv (summing the bf16 dqf casts
+        # would round every partial sum to 8 mantissa bits)
         dbs = jnp.concatenate(
-            [jnp.sum(t, axis=0, keepdims=True) for t in (dqf, dkf, dvf)],
+            [jnp.sum(t.reshape(g * s, -1), axis=0, keepdims=True)
+             for t in (dq, dk, dv)],
             axis=0,
         ).astype(jnp.float32)                      # (3, d) bias grads
         db_ref[hq] = db_ref[hq] + dbs[None]

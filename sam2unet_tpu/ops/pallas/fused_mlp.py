@@ -344,6 +344,15 @@ _SQRT_2_PI = math.sqrt(2.0 / math.pi)
 _GELU_C = 0.044715
 
 
+def _dgelu_tanh(y, t):
+    """d/dy of tanh-GELU given y and t = tanh(sqrt(2/pi)(y + c y^3)) —
+    one definition shared by every backward kernel (a fix applied to one
+    copy and not another silently desyncs gradients)."""
+    return (0.5 * (1.0 + t)
+            + 0.5 * y * (1.0 - t * t)
+            * _SQRT_2_PI * (1.0 + 3.0 * _GELU_C * y * y))
+
+
 def _mlp_bwd_dx_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, ln_ref,
                        dx_ref, *, use_ln: bool, residual: bool):
     """dx for the frozen MLP tail: recompute LN/W1/tanh-gelu' in VMEM, run
@@ -370,10 +379,7 @@ def _mlp_bwd_dx_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, ln_ref,
         gy, w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dgelu = (0.5 * (1.0 + th)
-             + 0.5 * h * (1.0 - th * th)
-             * _SQRT_2_PI * (1.0 + 3.0 * _GELU_C * h * h))
-    dh = (da * dgelu).astype(x.dtype)
+    dh = (da * _dgelu_tanh(h, th)).astype(x.dtype)
     dz = jax.lax.dot_general(                      # dh @ W1^T: (T, c)
         dh, w1_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -466,10 +472,7 @@ def _adapter_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     ) + b2_ref[:].astype(jnp.float32)
     u2 = _SQRT_2_PI * (y2 + _GELU_C * y2 * y2 * y2)
     t2 = jnp.tanh(u2)
-    dg2 = (0.5 * (1.0 + t2)
-           + 0.5 * y2 * (1.0 - t2 * t2)
-           * _SQRT_2_PI * (1.0 + 3.0 * _GELU_C * y2 * y2))
-    dy2 = gy * dg2                                   # (T, d) f32
+    dy2 = gy * _dgelu_tanh(y2, t2)                   # (T, d) f32
     dy2c = dy2.astype(x.dtype)
     dw2_blk = jax.lax.dot_general(                   # h^T dy2: (hidden, d)
         h.astype(x.dtype), dy2c, (((0,), (0,)), ((), ())),
@@ -480,10 +483,7 @@ def _adapter_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         dy2c, w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dg1 = (0.5 * (1.0 + t1)
-           + 0.5 * y1 * (1.0 - t1 * t1)
-           * _SQRT_2_PI * (1.0 + 3.0 * _GELU_C * y1 * y1))
-    dy1 = dh * dg1                                   # (T, hidden) f32
+    dy1 = dh * _dgelu_tanh(y1, t1)                   # (T, hidden) f32
     dy1c = dy1.astype(x.dtype)
     dw1_blk = jax.lax.dot_general(                   # x^T dy1: (d, hidden)
         x, dy1c, (((0,), (0,)), ((), ())),

@@ -37,6 +37,7 @@ def avg_pool2d_same(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
     Divides by kernel**2 unconditionally — torch's count_include_pad=True,
     as exercised by the structure loss (train.py:22: k=31, s=1, p=15).
     """
+    assert kernel % 2 == 1, "same-shape contract needs an odd kernel"
     pad = kernel // 2
     # separable: sum over the k x k rectangle == 1-D row sums then column
     # sums (exact, zero padding) — 2k adds/pixel instead of k^2

@@ -64,9 +64,8 @@ def create_sharded_train_state(
     from sam2unet_tpu.parallel.sharding import shard_tree
 
     state = create_train_state(variables, optimizer)
-    if min_shard_size is None:
-        return shard_tree(state, mesh)
-    return shard_tree(state, mesh, min_shard_size)
+    kw = {} if min_shard_size is None else {"min_shard_size": min_shard_size}
+    return shard_tree(state, mesh, **kw)
 
 
 def make_train_step(
