@@ -84,6 +84,14 @@ def main(args) -> None:
     import jax
     import jax.numpy as jnp
 
+    from sam2unet_tpu.utils.jax_setup import setup_jax
+
+    # Must precede the jax.devices() below: backend init is one-shot, and
+    # setup_jax is what honors JAX_PLATFORMS (the axon TPU plugin ignores
+    # the env var, so without this `JAX_PLATFORMS=cpu train.py` would still
+    # initialize — and possibly hang on — the TPU backend).
+    setup_jax()
+
     dataset = TrainDataset(args.train_image_path, args.train_mask_path, args.size)
     if len(dataset) == 0:
         raise SystemExit(

@@ -112,7 +112,13 @@ class MemoryEncoder(nn.Module):
     out_dim: int = 64
     in_dim: int = 256
     fuser_layers: int = 2
-    # mask-downsampler shape knobs (sam2_hiera_*.yaml: kernel 3, stride 2)
+    # mask-downsampler shape knobs (sam2_hiera_*.yaml: kernel 3, stride 2).
+    # mds_embed_dim mirrors the reference MaskDownSampler's independent
+    # embed_dim knob (memory_encoder.py:17-26); None derives it from in_dim,
+    # which is what every shipped config does (both are 256) — and the only
+    # consistent choice, since the downsampled mask is added to the in_dim-
+    # channel pix_feat projection.
+    mds_embed_dim: int | None = None
     mds_kernel: int = 3
     mds_stride: int = 2
     mds_padding: int = 1
@@ -127,7 +133,8 @@ class MemoryEncoder(nn.Module):
         if not skip_mask_sigmoid:
             masks = nn.sigmoid(masks)
         masks = MaskDownSampler(
-            self.in_dim, kernel_size=self.mds_kernel, stride=self.mds_stride,
+            self.mds_embed_dim or self.in_dim,
+            kernel_size=self.mds_kernel, stride=self.mds_stride,
             padding=self.mds_padding, dtype=self.dtype, name="mask_downsampler",
         )(masks)
         x = nn.Conv(self.in_dim, (1, 1), dtype=self.dtype, name="pix_feat_proj")(pix_feat)

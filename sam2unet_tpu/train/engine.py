@@ -64,7 +64,7 @@ def create_sharded_train_state(
     from sam2unet_tpu.parallel.sharding import shard_tree
 
     state = create_train_state(variables, optimizer)
-    kw = {} if min_shard_size is None else {"min_shard_size": min_shard_size}
+    kw = {} if min_shard_size is None else {"min_size": min_shard_size}
     return shard_tree(state, mesh, **kw)
 
 

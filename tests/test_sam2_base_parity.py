@@ -70,7 +70,11 @@ def _build_ref_sam2base():
                                        layer=make_layer(), num_layers=4)
     memory_encoder = MemoryEncoder(
         out_dim=16,
-        mask_downsampler=MaskDownSampler(kernel_size=3, stride=2, padding=1),
+        # embed_dim must match in_dim=64 below — the reference's forward adds
+        # the downsampled mask to the in_dim-channel pix_feat projection, so
+        # leaving torch's default 256 builds a module that cannot run.
+        mask_downsampler=MaskDownSampler(embed_dim=64, kernel_size=3,
+                                         stride=2, padding=1),
         fuser=Fuser(CXBlock(dim=64, kernel_size=7, padding=3,
                             layer_scale_init_value=1e-6, use_dwconv=True),
                     num_layers=2),
