@@ -14,8 +14,15 @@ def main():
     p.add_argument("--save_path", type=str, required=True)
     p.add_argument("--size", type=int, default=960)
     p.add_argument("--backend", default="stablehlo",
-                   choices=["stablehlo", "onnx", "openvino"])
+                   choices=["stablehlo", "tf", "onnx", "openvino"])
     args = p.parse_args()
+
+    if args.backend == "stablehlo":
+        # this backend runs under jax; honor JAX_PLATFORMS before the
+        # first operation initializes the backend (one-shot)
+        from sam2unet_tpu.utils.jax_setup import setup_jax
+
+        setup_jax()
 
     import numpy as np
     from PIL import Image
