@@ -49,8 +49,13 @@ _LN_EPS = 1e-6
 def _kernel(x_ref, w_ref, b_ref, ln_ref, wp_ref, bp_ref, kvp_ref,
             mask_ref, lm_ref, o_ref, y_buf, acc,
             *, nh: int, n_pad: int, scale: float, residual: bool,
-            s_valid: int, masked: bool):
+            s_valid: int, masked: bool, resident: bool):
     h = pl.program_id(1)
+    # resident=True: weight refs hold ALL heads (constant index maps -> one
+    # HBM fetch for the whole grid), sliced per head here. resident=False:
+    # classic per-head revolving blocks (used when the full stacks would
+    # crowd VMEM), index 0 of a 1-head block.
+    hw = h if resident else 0
     x = x_ref[:]                                   # (G, S, c)
     g, s, c = x.shape
 
@@ -65,11 +70,11 @@ def _kernel(x_ref, w_ref, b_ref, ln_ref, wp_ref, bp_ref, kvp_ref,
 
     y2 = y_buf[:].reshape(g * s, c)
     qkv = jax.lax.dot_general(                     # (G*S, 3d) fp32
-        y2, w_ref[0], (((1,), (0,)), ((), ())),
+        y2, w_ref[hw], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    b3 = b_ref[:].astype(jnp.float32)              # (1, 1, 3d)
-    qkv = (qkv + b3[0]).astype(x.dtype)
+    b3 = b_ref[hw].astype(jnp.float32)             # (1, 3d)
+    qkv = (qkv + b3).astype(x.dtype)
     d = qkv.shape[-1] // 3
     q = qkv[:, :d].reshape(g, s, d)
     k = qkv[:, d : 2 * d].reshape(g, s, d)
@@ -90,7 +95,7 @@ def _kernel(x_ref, w_ref, b_ref, ln_ref, wp_ref, bp_ref, kvp_ref,
         sc = jnp.where(col < s_valid, sc, -1e30)
 
     if n_pad or masked:
-        kvp = kvp_ref[:].astype(jnp.float32)       # (1, 2, d), lane-aligned
+        kvp = kvp_ref[hw].astype(jnp.float32)[None]  # (1, 2, d), lane-aligned
         k_pad = kvp[:, 0:1, :]                     # (1, 1, d)
         v_pad = kvp[:, 1:2, :]
         sp = jnp.sum(q.astype(jnp.float32) * k_pad, axis=-1) * scale
@@ -116,7 +121,7 @@ def _kernel(x_ref, w_ref, b_ref, ln_ref, wp_ref, bp_ref, kvp_ref,
         o = o + (ep / den)[..., None] * v_pad
 
     out_h = jax.lax.dot_general(                   # (G*S, c) fp32
-        o.astype(x.dtype).reshape(g * s, d), wp_ref[0],
+        o.astype(x.dtype).reshape(g * s, d), wp_ref[hw],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(g, s, c)
@@ -137,15 +142,71 @@ def _kernel(x_ref, w_ref, b_ref, ln_ref, wp_ref, bp_ref, kvp_ref,
         o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _pick_group(n_windows: int, s: int, c: int, d: int) -> int:
-    """Largest divisor of n_windows keeping live VMEM values ~<= 5 MB
-    (x/y/out blocks, qkv + scores values, per-group weight broadcasts)."""
-    per_window = s * c * 14 + s * s * 8 + 8 * c * d
-    target = max(1, (5 * 1024 * 1024) // max(per_window, 1))
+# Weight stacks at or below this (as Mosaic actually tiles them) stay
+# fully VMEM-resident across the grid: constant index maps -> fetched from
+# HBM once per kernel call instead of once per (window-group, head) grid
+# step. Hiera's stages 1-3 fit (0.3-3.1 MB padded); stage 4 (c=1152,
+# nh=16) tiles to ~12.4 MB — over the cap, so it keeps the revolving
+# per-head blocks rather than crowd the ~16 MB VMEM.
+_RESIDENT_CAP_BYTES = 11 * 1024 * 1024
+
+
+def _rup(v: int, q: int) -> int:
+    return -(-v // q) * q
+
+
+def _resident_bytes(nh: int, c: int, d: int, itemsize: int) -> int:
+    """VMEM bytes of the all-heads weight stacks as Mosaic tiles them
+    ((sublane, lane) quanta: bf16 16x128, f32 8x128 — the head-dim lanes
+    of the (c, 3d) qkv slices pad 216 -> 256 etc., a ~25% overhead the
+    residency decision must charge). qkv (nh, c, 3d) + proj (nh, d, c);
+    biases are negligible."""
+    sub = 32 // itemsize
+    return nh * itemsize * (_rup(c, sub) * _rup(3 * d, 128)
+                            + _rup(d, sub) * _rup(c, 128))
+
+
+def _pick_group(n_windows: int, s: int, c: int, d: int,
+                live_budget: int = 5 * 1024 * 1024,
+                resident: bool = False) -> int:
+    """Largest divisor of n_windows keeping live VMEM values ~<= the
+    budget (x/y/out blocks, qkv + scores values, and — only in the
+    revolving layout — the per-group weight broadcasts)."""
+    per_window = s * c * 14 + s * s * 8 + (0 if resident else 8 * c * d)
+    target = max(1, live_budget // max(per_window, 1))
     g = min(n_windows, target, 128)
     while n_windows % g:
         g -= 1
     return max(g, 1)
+
+
+def _pick_layout(nh: int, c: int, d: int, itemsize: int,
+                 cap: int = _RESIDENT_CAP_BYTES):
+    """(resident, live_budget): whether the whole per-head weight stacks
+    ride VMEM for the full grid, and the group-size budget left for the
+    blocks + live values beside them."""
+    rb = _resident_bytes(nh, c, d, itemsize)
+    if rb > cap:
+        return False, 5 * 1024 * 1024
+    return True, min(5 * 1024 * 1024,
+                     max(1024 * 1024, 10 * 1024 * 1024 - rb))
+
+
+def _weight_specs(resident: bool, nh: int):
+    """BlockSpec factory for the weight stacks: resident -> all heads,
+    constant index map (one HBM fetch per call); revolving -> one head,
+    re-fetched per grid step."""
+    if resident:
+        def wspec(*dims):
+            return pl.BlockSpec((nh, *dims),
+                                lambda i, h: (0,) * (len(dims) + 1),
+                                memory_space=pltpu.VMEM)
+    else:
+        def wspec(*dims):
+            return pl.BlockSpec((1, *dims),
+                                lambda i, h: (h,) + (0,) * len(dims),
+                                memory_space=pltpu.VMEM)
+    return wspec
 
 
 def _xla_window_block(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
@@ -237,6 +298,20 @@ def _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
             x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
             num_heads, n_pad, residual,
             attn_mask if masked else None, pad_logmult if masked else None)
+    return _fused_window_block_fwd_impl(
+        x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
+        attn_mask, pad_logmult, num_heads, n_pad, residual, masked)
+
+
+def _fused_window_block_fwd_impl(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
+                                 b_proj, attn_mask, pad_logmult,
+                                 num_heads, n_pad, residual, masked,
+                                 interpret=False):
+    """The Pallas forward proper (post-dispatch-gate); `interpret=True`
+    exercises the kernel on CPU in tests."""
+    nw, s, c = x.shape
+    nh = num_heads
+    d = c // nh
     # Row-pad S to the bf16 sublane quantum: splitting (G*S) back into
     # (G, S) inside the kernel is only a supported relayout for aligned S
     # (S=9 crashes Mosaic). Pad rows are masked out of the keys and their
@@ -251,7 +326,8 @@ def _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
             pad_logmult = jnp.pad(pad_logmult, ((0, 0), (0, row_pad)),
                                   constant_values=-1e30)
         s = s + row_pad
-    g = _pick_group(nw, s, c, d)
+    resident, live_budget = _pick_layout(nh, c, d, x.dtype.itemsize)
+    g = _pick_group(nw, s, c, d, live_budget, resident)
     # per-head weight layout: qkv (c, [3, nh, d]) -> (nh, c, 3d);
     # bias (3c,) -> (nh, 1, 3d); proj rows ([nh, d], c) -> (nh, d, c)
     w3 = w_qkv.reshape(c, 3, nh, d).transpose(2, 0, 1, 3).reshape(nh, c, 3 * d)
@@ -259,26 +335,29 @@ def _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
     wp3 = w_proj.reshape(nh, d, c)
     ln = jnp.stack([jnp.asarray(ln_scale, x.dtype),
                     jnp.asarray(ln_bias, x.dtype)])
+    # resident layout rationale: the revolving blocks re-fetch the entire
+    # weight set once per window group; profiles show those weight-slice
+    # DMAs among the top HLO entries (overlapped, i.e. latency-hidden, but
+    # still HBM *bandwidth* in a bandwidth-bound model — docs/PERF.md
+    # round 3). Residency removes the bytes; adopt-only-if-wins A/B
+    # pending in docs/PERF.md. Stacks over the cap keep revolving.
+    wspec = _weight_specs(resident, nh)
     out = pl.pallas_call(
         functools.partial(_kernel, nh=nh, n_pad=n_pad,
                           scale=1.0 / math.sqrt(d), residual=residual,
-                          s_valid=s_valid, masked=masked),
+                          s_valid=s_valid, masked=masked, resident=resident),
         grid=(nw // g, nh),
         in_specs=[
             pl.BlockSpec((g, s, c), lambda i, h: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 3 * d), lambda i, h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3 * d), lambda i, h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            wspec(c, 3 * d),
+            wspec(1, 3 * d),
             pl.BlockSpec((2, c), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, c), lambda i, h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            wspec(d, c),
             pl.BlockSpec((1, c), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, d), lambda i, h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            wspec(2, d),
             pl.BlockSpec(attn_mask.shape, lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(pad_logmult.shape, lambda i, h: (0, 0),
@@ -296,6 +375,7 @@ def _fused_window_block_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
             bytes_accessed=2 * nw * s * c * x.dtype.itemsize,
             transcendentals=nw * nh * s * s,
         ),
+        interpret=interpret,
     )(x, w3.astype(x.dtype), b3.astype(jnp.float32), ln,
       wp3.astype(x.dtype), b_proj.reshape(1, -1).astype(jnp.float32),
       # (nh, 2, d): per-head [k_pad; v_pad] rows, lane-aligned for the
@@ -311,7 +391,7 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
                 mask_ref, lm_ref,
                 *refs,
                 nh: int, scale: float, residual: bool, s_valid: int,
-                wg: bool, masked: bool, n_pad: int = 0):
+                wg: bool, masked: bool, resident: bool, n_pad: int = 0):
     if wg:
         (dx_ref, dw_ref, db_ref, dls_ref, dlb_ref, dwp_ref, dbp_ref,
          y_buf, mu_buf, r_buf, dy_acc) = refs
@@ -359,12 +439,16 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
                                               keepdims=True)
 
     # ---- forward recompute for this head ----
+    # resident weight stacks vs revolving per-head blocks: see the forward
+    # kernel's note
+    hw = h if resident else 0
+    w3h = w_ref[hw]                                # (c, 3d)
     y2 = y_buf[:].reshape(g * s, c)
     qkv = jax.lax.dot_general(
-        y2, w_ref[0], (((1,), (0,)), ((), ())),
+        y2, w3h, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    qkv = (qkv + b_ref[:].astype(jnp.float32)[0]).astype(x.dtype)
+    qkv = (qkv + b_ref[hw].astype(jnp.float32)).astype(x.dtype)
     d = qkv.shape[-1] // 3
     q = qkv[:, :d].reshape(g, s, d)
     k = qkv[:, d : 2 * d].reshape(g, s, d)
@@ -380,7 +464,7 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
     if pad_key:
         if masked:
             sc = sc + mask_ref[:][None]
-        kvp = kvp_ref[:].astype(jnp.float32)       # (1, 2, d)
+        kvp = kvp_ref[hw].astype(jnp.float32)[None]  # (1, 2, d)
         k_pad = kvp[:, 0:1, :]
         v_pad = kvp[:, 1:2, :]
         sp = jnp.sum(q.astype(jnp.float32) * k_pad, axis=-1) * scale
@@ -399,7 +483,7 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
     # ---- backward ----
     g2 = gy.astype(x.dtype).reshape(g * s, c)
     do = jax.lax.dot_general(                      # dO = g @ WpT: (G*S, d)
-        g2, wp_ref[0], (((1,), (1,)), ((), ())),
+        g2, wp_ref[hw], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype).reshape(g, s, d)
     dp = jax.lax.dot_general(                      # (G, S, S)
@@ -435,9 +519,9 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, kvp_ref,
     dqf = dq.astype(x.dtype).reshape(g * s, d)
     dkf = dk.astype(x.dtype).reshape(g * s, d)
     dvf = dv.astype(x.dtype).reshape(g * s, d)
-    wq = w_ref[0][:, :d]
-    wk = w_ref[0][:, d : 2 * d]
-    wv = w_ref[0][:, 2 * d :]
+    wq = w3h[:, :d]
+    wk = w3h[:, d : 2 * d]
+    wv = w3h[:, 2 * d :]
 
     def dotT(a, b):                                # a (N, d) @ b^T (c, d)
         return jax.lax.dot_general(
@@ -537,8 +621,14 @@ def _fused_window_block_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
     if not masked:
         attn_mask = jnp.zeros((8, 128), jnp.float32)
         pad_logmult = jnp.zeros((1, 8), jnp.float32)
-    g = max(1, _pick_group(nw, s, c, d) // 2)      # bwd holds more live VMEM
-    while nw % g:
+    # with weight grads, the f32 grad accumulators already hold all heads
+    # in VMEM (constant-map outputs); the resident weight stacks only join
+    # them when small. dx-only carries no accumulators -> bigger cap.
+    resident, live_budget = _pick_layout(
+        nh, c, d, x.dtype.itemsize,
+        cap=(4 if weight_grads else 10) * 1024 * 1024)
+    g = max(1, _pick_group(nw, s, c, d, live_budget, resident) // 2)
+    while nw % g:                                  # bwd holds more live VMEM
         g -= 1
     w3 = w_qkv.reshape(c, 3, nh, d).transpose(2, 0, 1, 3).reshape(nh, c, 3 * d)
     b3 = b_qkv.reshape(3, nh, d).transpose(1, 0, 2).reshape(nh, 1, 3 * d)
@@ -547,6 +637,7 @@ def _fused_window_block_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
                     jnp.asarray(ln_bias, x.dtype)])
     f32 = jnp.float32
     wg = weight_grads
+    wspec = _weight_specs(resident, nh)
     grad_out_specs = (
         pl.BlockSpec((nh, 3, c, d), lambda i, h: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -569,23 +660,20 @@ def _fused_window_block_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, nh=nh, scale=1.0 / math.sqrt(d),
                           residual=residual, s_valid=s_valid, wg=wg,
-                          masked=masked, n_pad=n_pad),
+                          masked=masked, n_pad=n_pad, resident=resident),
         grid=(nw // g, nh),
         in_specs=[
             pl.BlockSpec((g, s, c), lambda i, h: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, s, c), lambda i, h: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 3 * d), lambda i, h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3 * d), lambda i, h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # resident or revolving weight stacks (see forward in_specs)
+            wspec(c, 3 * d),
+            wspec(1, 3 * d),
             pl.BlockSpec((2, c), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, c), lambda i, h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, d), lambda i, h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            wspec(d, c),
+            wspec(2, d),
             pl.BlockSpec(attn_mask.shape, lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(pad_logmult.shape, lambda i, h: (0, 0),

@@ -282,6 +282,53 @@ def test_masked_whole_grid_block_matches_group_path():
                                atol=2e-5)
 
 
+def test_fused_block_forward_kernel_interpret():
+    """The fused forward kernel (interpret mode) == the XLA form: plain,
+    synthetic-pad-key, masked whole-grid, and a many-head shape — with the
+    group size forced to 1 so the resident (constant-index-map) weight
+    stacks are sliced per head across several window-group grid steps."""
+    from unittest import mock
+
+    import sam2unet_tpu.ops.pallas.fused_attention_block as fab
+
+    rng = np.random.default_rng(11)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+
+    def run(nw, s, c, nh, n_pad=0, masked=False, grid_hw_win=None):
+        x, w, b = mk(nw, s, c), mk(c, 3 * c), mk(3 * c)
+        lns, lnb, wp, bp = mk(c) + 1, mk(c), mk(c, c), mk(c)
+        if masked:
+            from sam2unet_tpu.ops.windowing import grid_window_mask
+
+            gh, gw, win = grid_hw_win
+            mask_np, lm_np = grid_window_mask(gh, gw, win)
+            mask, lm = jnp.asarray(mask_np), jnp.asarray(lm_np)
+        else:
+            mask = jnp.zeros((8, 128), jnp.float32)
+            lm = jnp.zeros((1, 8), jnp.float32)
+        with mock.patch.object(fab, "_pick_group", lambda *a: 1):
+            got = fab._fused_window_block_fwd_impl(
+                x, w, b, lns, lnb, wp, bp, mask, lm, nh, n_pad, True,
+                masked, interpret=True)
+        want = fab._xla_window_block(
+            x, w, b, lns, lnb, wp, bp, nh, n_pad, True,
+            mask if masked else None, lm if masked else None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    run(4, 16, 24, 2)                      # plain, several window groups
+    run(4, 16, 24, 2, n_pad=5)             # synthetic pad key
+    run(2, 16, 24, 2, masked=True, grid_hw_win=(4, 4, 3))  # whole-grid
+    run(2, 16, 64, 8)                      # many heads (resident stacks)
+
+    # revolving-layout fallback (stacks over the residency cap): same
+    # numbers through per-head revolving weight blocks
+    with mock.patch.object(fab, "_resident_bytes", lambda *a: 1 << 30):
+        run(4, 16, 24, 2)
+        run(4, 16, 24, 2, n_pad=5)
+        run(2, 16, 64, 8)
+
+
 def test_fused_block_backward_kernel_interpret():
     """The fused backward kernel (interpret mode) == jax.vjp of the XLA
     form, in both full-grads and frozen dx-only variants, incl. masked."""
@@ -335,6 +382,25 @@ def test_fused_block_backward_kernel_interpret():
                                      True, mask, lm), x)
     np.testing.assert_allclose(np.asarray(got_m), np.asarray(vjpm(gy)[0]),
                                rtol=2e-4, atol=2e-5)
+
+    # revolving-layout fallback (stacks over the residency cap): full
+    # grads and dx-only both match through per-head revolving blocks
+    from unittest import mock
+
+    import sam2unet_tpu.ops.pallas.fused_attention_block as fab
+
+    with mock.patch.object(fab, "_resident_bytes", lambda *a: 1 << 30):
+        got_r = _fused_window_block_bwd_impl(x, gy, w, b, lns, lnb, wp, nh,
+                                             True, interpret=True)
+        for a, r in zip(got_r, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=2e-4, atol=2e-5)
+        got_rp = _fused_window_block_bwd_impl(
+            x, gy, w, b, lns, lnb, wp, nh, True, weight_grads=False,
+            n_pad=5, interpret=True)[0]
+        np.testing.assert_allclose(np.asarray(got_rp),
+                                   np.asarray(vjpp(gy)[0]),
+                                   rtol=2e-4, atol=2e-5)
 
 
 def test_partition_fill_equals_project_after_pad():
