@@ -279,6 +279,11 @@ class SAM2ImagePredictor:
             orig_hw=tuple(self._orig_hw[img_idx]) if device_post else None,
             binarize=binarize and device_post,
         )
+        # one batched readback: device_get starts every D2H copy async
+        # before converting — serialized np.asarray calls each pay a full
+        # tunnel round trip (~30 ms), which inverted the device-vs-host
+        # postprocess ordering (docs/PERF.md round 3)
+        full, ious, low_res = jax.device_get((full, ious, low_res))
         low_res = np.asarray(low_res, np.float32)
         if device_post:
             masks = _unpack_masks(full, self._orig_hw[img_idx])
@@ -338,6 +343,7 @@ class SAM2ImagePredictor:
             orig_hw=tuple(hw) if device_post else None,
             binarize=(not return_logits) and device_post,
         )
+        full, ious, low_res = jax.device_get((full, ious, low_res))
         low_res = np.asarray(low_res, np.float32)
         if device_post:
             masks = _unpack_masks(full, hw)
@@ -400,6 +406,9 @@ class SAM2ImagePredictor:
             amg_stats=True,
             stability_offset=float(stability_offset),
             with_low_res=need_low_res,
+        )
+        packed, ious, low_res, stability = jax.device_get(
+            (packed, ious, low_res, stability)
         )
         masks = _unpack_masks(packed, hw)
         return (

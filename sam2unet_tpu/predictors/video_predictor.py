@@ -703,9 +703,10 @@ class SAM2VideoPredictor:
         )
         bank.note_tracked(frame_idx)
         if state["offload_state_to_cpu"]:
-            # the knob is real on this path: outputs leave HBM eagerly
-            low = np.asarray(low)
-            obj_ptr = np.asarray(obj_ptr)
+            # the knob is real on this path: outputs leave HBM eagerly —
+            # one batched readback (device_get overlaps the D2H copies;
+            # serialized np.asarray pays a tunnel round trip per array)
+            low, obj_ptr, feats = jax.device_get((low, obj_ptr, feats))
             feats = np.asarray(feats, np.float32)
         current_out = {
             "point_inputs": None,
@@ -991,6 +992,15 @@ class SAM2VideoPredictor:
             )
 
         _, _, _, low_res_masks, high_res_masks, obj_ptr, _ = sam_outputs
+        # one batched readback for everything this frame materializes:
+        # device_get starts all D2H copies async, so the tunnel round trip
+        # is paid once instead of once per array (docs/PERF.md round 3)
+        low_res_masks, high_res_masks, obj_ptr, feats_d, penc_d = (
+            jax.device_get(
+                (low_res_masks, high_res_masks, obj_ptr, feats_d,
+                 list(penc_d) if penc_d is not None else None)
+            )
+        )
         pred_masks = np.asarray(low_res_masks, np.float32)
         if self.fill_hole_area > 0:
             # (sam2_video_predictor.py:809-812 + misc.py:216-228): small
