@@ -222,8 +222,10 @@ def main(args) -> None:
                     probs, jnp.asarray(eb["gt_letterboxed"]),
                     jnp.asarray(valid), pix,
                 )
-                ious.append(np.asarray(iou))
-                dices.append(np.asarray(dice))
+                # one batched readback (async copies share the round trip)
+                iou, dice = jax.device_get((iou, dice))
+                ious.append(iou)
+                dices.append(dice)
                 count += eb["valid"]
                 print(".", end="", flush=True)
             final_result = {
