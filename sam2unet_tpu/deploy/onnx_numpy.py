@@ -397,6 +397,10 @@ class NumpyOnnxRunner:
         # run in a child scope so branch intermediates can legally reuse
         # outer tensor names without clobbering them
         sub_env = dict(env)
+        # branch subgraphs may carry their own initializers (exporters and
+        # graph optimizers produce these) — seed them before running
+        for t in branch.initializer:
+            sub_env[t.name] = onnx_compat.tensor_to_array(t)
         self._run_graph(branch, sub_env)
         return tuple(sub_env[o.name] for o in branch.output)
 
@@ -415,15 +419,37 @@ class NumpyOnnxRunner:
             out = out + a.get("beta", 1.0) * c
         return out.astype(np.asarray(x).dtype)
 
+    @staticmethod
+    def _resolve_pads(a, dims_in, k_eff, strides):
+        """(top, left, bottom, right) honoring auto_pad — Conv and MaxPool
+        share these semantics. SAME_* pads so out = ceil(in / stride);
+        silently using pads=[0,0,0,0] for an auto_pad graph would return
+        spatially wrong results."""
+        ap = a.get("auto_pad", "NOTSET")
+        if ap == "NOTSET":
+            return tuple(a.get("pads", [0, 0, 0, 0]))
+        if ap == "VALID":
+            return 0, 0, 0, 0
+        if ap not in ("SAME_UPPER", "SAME_LOWER"):
+            raise NotImplementedError(f"auto_pad={ap!r}")
+        per_axis = []
+        for d, k, s in zip(dims_in, k_eff, strides):
+            total = max((-(-d // s) - 1) * s + k - d, 0)
+            small, big = total // 2, total - total // 2
+            per_axis.append((small, big) if ap == "SAME_UPPER"
+                            else (big, small))
+        (pt, pb), (pl, pr) = per_axis
+        return pt, pl, pb, pr
+
     def op_Conv(self, a, x, w, b=None, env=None):
         n, cin, h, wi = x.shape
         m, cg, kh, kw = w.shape
         g = a.get("group", 1)
         sh, sw = a.get("strides", [1, 1])
         dh, dw = a.get("dilations", [1, 1])
-        pt, pl, pb, pr = a.get("pads", [0, 0, 0, 0])
-        xp = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
         khe, kwe = (kh - 1) * dh + 1, (kw - 1) * dw + 1
+        pt, pl, pb, pr = self._resolve_pads(a, (h, wi), (khe, kwe), (sh, sw))
+        xp = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
         win = sliding_window_view(xp, (khe, kwe), axis=(2, 3))
         win = win[:, :, ::sh, ::sw, ::dh, ::dw]  # (N, C, Ho, Wo, kh, kw)
         ho, wo = win.shape[2], win.shape[3]
@@ -441,20 +467,23 @@ class NumpyOnnxRunner:
     def op_MaxPool(self, a, x, env=None):
         kh, kw = a["kernel_shape"]
         sh, sw = a.get("strides", [1, 1])
-        pt, pl, pb, pr = a.get("pads", [0, 0, 0, 0])
+        dh, dw = a.get("dilations", [1, 1])
+        khe, kwe = (kh - 1) * dh + 1, (kw - 1) * dw + 1
+        n_, c_, h_, w_ = x.shape
+        pt, pl, pb, pr = self._resolve_pads(a, (h_, w_), (khe, kwe), (sh, sw))
         if a.get("ceil_mode", 0):
-            n_, c_, h_, w_ = x.shape
             # extend end-padding so the last (possibly partial) window exists
-            ho = -(-(h_ + pt + pb - kh) // sh) + 1
-            wo = -(-(w_ + pl + pr - kw) // sw) + 1
-            pb = max(pb, (ho - 1) * sh + kh - h_ - pt)
-            pr = max(pr, (wo - 1) * sw + kw - w_ - pl)
+            ho = -(-(h_ + pt + pb - khe) // sh) + 1
+            wo = -(-(w_ + pl + pr - kwe) // sw) + 1
+            pb = max(pb, (ho - 1) * sh + khe - h_ - pt)
+            pr = max(pr, (wo - 1) * sw + kwe - w_ - pl)
         xp = np.pad(
             x, ((0, 0), (0, 0), (pt, pb), (pl, pr)),
             constant_values=-np.inf if np.issubdtype(x.dtype, np.floating)
             else np.iinfo(x.dtype).min,
         )
-        win = sliding_window_view(xp, (kh, kw), axis=(2, 3))[:, :, ::sh, ::sw]
+        win = sliding_window_view(xp, (khe, kwe), axis=(2, 3))
+        win = win[:, :, ::sh, ::sw, ::dh, ::dw]
         return win.max(axis=(-2, -1))
 
     def op_GlobalAveragePool(self, a, x, env=None):

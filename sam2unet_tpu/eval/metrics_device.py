@@ -15,13 +15,15 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("threshold",))
+@partial(jax.jit, static_argnames=("threshold", "gt_threshold"))
 def batched_semantic_metrics(
     pred_probs: jnp.ndarray,   # (B, H, W) in [0, 1] (or logits>thresholded)
-    gt: jnp.ndarray,           # (B, H, W) in [0, 255] or {0,1}
+    gt: jnp.ndarray,           # (B, H, W) in [0, 255], or bool
     valid: jnp.ndarray,        # (B,) bool — padded batch entries masked out
     pixel_valid: jnp.ndarray | None = None,  # (B, H, W) un-padded region
     threshold: float = 0.1,
+    gt_threshold: float | None = None,  # override for non-[0,255] GT, e.g.
+                                        # 0.5 for {0,1}-valued masks
 ):
     """Returns per-image (iou (B,), dice (B,)); invalid entries are zero.
 
@@ -43,7 +45,13 @@ def batched_semantic_metrics(
         p = (jnp.floor(norm * 255.0) > 255.0 * threshold) & pixel_valid
     else:
         p = pred_probs > threshold
-    g = gt > (255.0 * threshold if gt.dtype != jnp.bool_ else 0.5)
+    if gt_threshold is None:
+        # default GT domain is the reference's: uint8-style [0, 255]
+        # binarized at 255*threshold (eval.py:88-89); bool masks pass
+        # through. A {0,1} float/int GT must set gt_threshold explicitly
+        # (0.5) — the 25.5 default would silently zero it.
+        gt_threshold = 0.5 if gt.dtype == jnp.bool_ else 255.0 * threshold
+    g = gt > gt_threshold
     inter = jnp.sum(p & g, axis=(1, 2)).astype(jnp.float32)
     union = jnp.sum(p | g, axis=(1, 2)).astype(jnp.float32)
     sums = jnp.sum(p, axis=(1, 2)) + jnp.sum(g, axis=(1, 2))

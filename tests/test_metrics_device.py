@@ -67,3 +67,20 @@ def test_device_metrics_pixel_valid_matches_reference_exactly():
         # the selected pixel SETS are bit-exact; only the final division
         # differs (device f32 vs numpy f64)
         np.testing.assert_allclose(float(iou[i]), want, rtol=1e-6)
+
+
+def test_gt_threshold_for_binary_valued_gt():
+    """A {0,1}-valued float/int GT must pass gt_threshold=0.5 — the
+    default 255*threshold binarization (reference eval.py:88-89 domain)
+    would silently zero it. Same mask in both domains => same metrics."""
+    rng = np.random.default_rng(0)
+    probs = rng.random((2, 16, 16)).astype(np.float32)
+    gt01 = (rng.random((2, 16, 16)) > 0.5).astype(np.float32)
+    valid = np.ones((2,), bool)
+    iou_255, dice_255 = batched_semantic_metrics(probs, gt01 * 255.0, valid)
+    iou_01, dice_01 = batched_semantic_metrics(
+        probs, gt01, valid, gt_threshold=0.5
+    )
+    assert np.asarray(iou_255).sum() > 0  # non-degenerate fixture
+    np.testing.assert_array_equal(np.asarray(iou_255), np.asarray(iou_01))
+    np.testing.assert_array_equal(np.asarray(dice_255), np.asarray(dice_01))

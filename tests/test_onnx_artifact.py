@@ -78,6 +78,8 @@ def _t(*shape):
          nn.Conv2d(8, 12, 3, stride=2, padding=2, dilation=2, groups=4),
          (_t(2, 8, 19, 23),)),
         ("maxpool_ceil", nn.MaxPool2d(3, 2, ceil_mode=True), (_t(2, 4, 17, 19),)),
+        ("maxpool_dilated", nn.MaxPool2d(3, stride=2, dilation=2),
+         (_t(2, 4, 17, 19),)),
         ("conv_bn", nn.Sequential(nn.Conv2d(3, 4, 1), nn.BatchNorm2d(4)),
          (_t(2, 3, 8, 8),)),
         ("linear_gemm", nn.Linear(16, 8), (_t(5, 16),)),
@@ -220,6 +222,85 @@ def test_if_branch_does_not_clobber_outer_names():
                                      ["cond", "t"], ["o"]))
     out = NumpyOnnxRunner(model)(np.asarray(True), np.float32(1.5))
     assert float(out["o"]) == 101.5  # 1.5 (outer t) + 100 (branch value)
+
+
+def test_if_branch_initializers_are_seeded():
+    """If branches may carry their own initializers (exporters and graph
+    optimizers move constants there); they must load into the branch
+    scope instead of raising KeyError."""
+    pb2 = _pb2()
+    ident = pb2.NodeProto(op_type="Identity", name="i")
+    ident.input.append("bc")
+    ident.output.append("ybr")
+    branch = _mk_graph(pb2, [ident], [], ["ybr"], name="then")
+    t = branch.initializer.add()
+    t.name, t.data_type = "bc", 1
+    t.dims.extend([2])
+    t.float_data.extend([3.0, 4.0])
+    iff = pb2.NodeProto(op_type="If", name="if")
+    iff.input.append("cond")
+    iff.output.append("y")
+    for aname in ("then_branch", "else_branch"):
+        ab = iff.attribute.add()
+        ab.name, ab.type = aname, 5
+        ab.g.CopyFrom(branch)
+    model = _mk_model(pb2, _mk_graph(pb2, [iff], ["cond"], ["y"]))
+    out = NumpyOnnxRunner(model)(np.asarray(True))
+    np.testing.assert_array_equal(
+        np.asarray(out["y"], np.float32), np.array([3.0, 4.0], np.float32)
+    )
+
+
+def _conv_model(pb2, add_attrs):
+    n = pb2.NodeProto(op_type="Conv", name="cv")
+    n.input.extend(["x", "w"])
+    n.output.append("y")
+    ks = n.attribute.add()
+    ks.name, ks.type = "kernel_shape", 7
+    ks.ints.extend([3, 3])
+    st = n.attribute.add()
+    st.name, st.type = "strides", 7
+    st.ints.extend([2, 2])
+    add_attrs(n)
+    return _mk_model(pb2, _mk_graph(pb2, [n], ["x", "w"], ["y"]))
+
+
+def test_conv_auto_pad_same_matches_explicit_pads():
+    """auto_pad SAME_UPPER/SAME_LOWER must actually pad (in=14, k=3, s=2
+    -> out=7 needs 1 total pad per axis: UPPER at the end, LOWER at the
+    start) — not silently run with pads=[0,0,0,0]."""
+    pb2 = _pb2()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 2, 14, 14)).astype(np.float32)
+    w = rng.standard_normal((4, 2, 3, 3)).astype(np.float32)
+
+    def explicit(pads):
+        def f(n):
+            p = n.attribute.add()
+            p.name, p.type = "pads", 7
+            p.ints.extend(pads)
+        return f
+
+    def auto(mode):
+        def f(n):
+            ap = n.attribute.add()
+            ap.name, ap.type = "auto_pad", 3
+            ap.s = mode.encode()
+        return f
+
+    def run(m):
+        return NumpyOnnxRunner(m)(x, w)["y"]
+
+    up = run(_conv_model(pb2, auto("SAME_UPPER")))
+    lo = run(_conv_model(pb2, auto("SAME_LOWER")))
+    assert up.shape == (1, 4, 7, 7)
+    np.testing.assert_allclose(
+        up, run(_conv_model(pb2, explicit([0, 0, 1, 1]))), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        lo, run(_conv_model(pb2, explicit([1, 1, 0, 0]))), rtol=1e-5
+    )
+    assert not np.allclose(up, lo)
 
 
 def test_cast_to_bfloat16_rounds():
