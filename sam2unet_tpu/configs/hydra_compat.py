@@ -57,8 +57,12 @@ def instantiate(node: Any, _recursive_: bool = True, **kwargs: Any) -> Any:
         return type(node)(out) if isinstance(node, tuple) else out
     if not isinstance(node, dict):
         return node
+    # a node-level `_recursive_` key overrides the inherited flag (hydra
+    # semantics: `_recursive_: false` in the config stops eager child
+    # instantiation for this subtree — children pass through as raw dicts)
+    rec = bool(node.get("_recursive_", _recursive_))
     children = {
-        k: (instantiate(v, _recursive_) if _recursive_ else v)
+        k: (instantiate(v, rec) if rec else v)
         for k, v in node.items()
         if not k.startswith("_")
     }

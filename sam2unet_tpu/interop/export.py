@@ -71,25 +71,47 @@ def load_exported(path: str):
     return fn
 
 
-def verify_export(model, variables: dict, size: int, path: str,
-                  rtol: float = 1e-1, atol: float = 1e-1) -> float:
-    """Numeric parity native-vs-exported, mirroring convert_onnx.py:69-107:
-    asserts allclose at rtol/atol 1e-1 and returns the max abs diff."""
+def _verify_against_native(model, variables: dict, size: int, run_exported,
+                           rtol: float, atol: float,
+                           force_xla: bool = False) -> float:
+    """Shared parity core for every exported format (convert_onnx.py:69-107
+    semantics): seeded input, native jitted forward, assert_allclose per
+    named output, return the max abs diff. `run_exported(x_nhwc)` returns
+    {name: array}; NCHW outputs (torch graphs) are transposed to match.
+    `force_xla` compares against the portable XLA graph instead of the
+    Pallas kernels (used when the artifact itself was traced that way and
+    the tolerance is tight)."""
     import jax
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal((1, size, size, 3)).astype(np.float32)
-    native = jax.jit(
-        lambda v, xx: model.apply(v, xx, train=False)
-    )(variables, x)
-    runner = load_exported(path)
-    exported = runner(x)
+    native_fn = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+    if force_xla:
+        from sam2unet_tpu.ops.pallas import dispatch
+
+        with dispatch.force_xla():
+            native = native_fn(variables, x)
+    else:
+        native = native_fn(variables, x)
+    got = run_exported(x)
     max_diff = 0.0
     for name, ref in zip(OUTPUT_NAMES, native):
-        got = np.asarray(exported[name])
-        np.testing.assert_allclose(got, np.asarray(ref), rtol=rtol, atol=atol)
-        max_diff = max(max_diff, float(np.abs(got - np.asarray(ref)).max()))
+        g = np.asarray(got[name], np.float32)
+        ref = np.asarray(ref, np.float32)
+        if g.shape != ref.shape and g.ndim == 4:  # NCHW -> NHWC
+            g = g.transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(g, ref, rtol=rtol, atol=atol)
+        max_diff = max(max_diff, float(np.abs(g - ref).max()))
     return max_diff
+
+
+def verify_export(model, variables: dict, size: int, path: str,
+                  rtol: float = 1e-1, atol: float = 1e-1) -> float:
+    """Numeric parity native-vs-exported, mirroring convert_onnx.py:69-107:
+    asserts allclose at rtol/atol 1e-1 and returns the max abs diff."""
+    return _verify_against_native(
+        model, variables, size, load_exported(path), rtol, atol
+    )
 
 
 def export_tf_savedmodel(model, variables: dict, size: int, path: str):
@@ -126,22 +148,13 @@ def verify_tf_savedmodel(model, variables: dict, size: int, path: str,
     """Load the SavedModel back with TensorFlow, run it, and compare every
     named output against the native forward (convert_onnx.py:69-107
     semantics: assert_allclose at 1e-1, report max abs diff)."""
-    import jax
     import tensorflow as tf
 
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((1, size, size, 3)).astype(np.float32)
-    native = jax.jit(
-        lambda v, xx: model.apply(v, xx, train=False)
-    )(variables, x)
     loaded = tf.saved_model.load(path)
-    got = loaded.f(tf.constant(x))
-    max_diff = 0.0
-    for name, ref in zip(OUTPUT_NAMES, native):
-        g = np.asarray(got[name])
-        np.testing.assert_allclose(g, np.asarray(ref), rtol=rtol, atol=atol)
-        max_diff = max(max_diff, float(np.abs(g - np.asarray(ref)).max()))
-    return max_diff
+    return _verify_against_native(
+        model, variables, size, lambda x: loaded.f(tf.constant(x)),
+        rtol, atol,
+    )
 
 
 def export_onnx_via_torch(torch_module, variables: dict, size: int,
@@ -183,31 +196,17 @@ def verify_onnx(model, variables: dict, size: int, path: str,
     """Run the exported .onnx with the numpy ONNX runtime and compare every
     output against the framework's own forward (the reference's ORT parity
     check, convert_onnx.py:69-107, without requiring onnxruntime)."""
-    import jax
-
     from sam2unet_tpu.deploy.onnx_numpy import NumpyOnnxRunner
-    from sam2unet_tpu.ops.pallas import dispatch
 
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((1, size, size, 3), np.float32)
-    with dispatch.force_xla():
-        native = jax.jit(
-            lambda v, x: model.apply(v, x, train=False)
-        )(variables, x)
     runner = NumpyOnnxRunner(path)
     # torch graphs take NCHW; the framework is NHWC
     in_shape = runner.get_inputs()[0].shape
     nchw = len(in_shape) == 4 and in_shape[1] == 3
-    got = runner(x.transpose(0, 3, 1, 2) if nchw else x)
-    max_diff = 0.0
-    for name, ref in zip(OUTPUT_NAMES, native):
-        g = np.asarray(got[name], np.float32)
-        ref = np.asarray(ref, np.float32)
-        if g.shape != ref.shape and g.ndim == 4:  # NCHW -> NHWC
-            g = g.transpose(0, 2, 3, 1)
-        np.testing.assert_allclose(g, ref, rtol=rtol, atol=atol)
-        max_diff = max(max_diff, float(np.abs(g - ref).max()))
-    return max_diff
+    return _verify_against_native(
+        model, variables, size,
+        lambda x: runner(x.transpose(0, 3, 1, 2) if nchw else x),
+        rtol, atol, force_xla=True,
+    )
 
 
 def export_onnx(model, variables: dict, size: int, path: str,

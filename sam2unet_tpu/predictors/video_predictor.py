@@ -32,7 +32,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sam2unet_tpu.models.position_encoding import get_1d_sine_pe
+def _sine_pe_np(pos: np.ndarray, dim: int,
+                temperature: float = 10000.0) -> np.ndarray:
+    """Host-numpy twin of get_1d_sine_pe (sam2_utils.py:60-70) for the
+    host-gather path: tiny per-frame positional tables should not cost a
+    device dispatch + readback each."""
+    pe_dim = dim // 2
+    dim_t = np.arange(pe_dim, dtype=np.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / pe_dim)
+    pos = np.asarray(pos, np.float32)[..., None] / dim_t
+    return np.concatenate([np.sin(pos), np.cos(pos)], axis=-1).astype(
+        np.float32
+    )
 from sam2unet_tpu.models.sam2_base import SAM2Base
 from sam2unet_tpu.predictors.transforms import SAM2Transforms
 
@@ -83,6 +94,10 @@ class SAM2VideoPredictor:
         # video_device.py). False falls back to the host-gathered bank.
         self.device_resident = device_resident and self.cfg.num_maskmem > 0
         self._device_step = None
+        # host copies of constant params read by the host-gather path —
+        # re-reading them from device every frame paid a tunnel round trip
+        # per frame for weights that never change
+        self._host_params: dict[tuple, np.ndarray] = {}
         self._transforms = SAM2Transforms(resolution=self.cfg.image_size,
                                           mask_threshold=0.0)
 
@@ -775,6 +790,17 @@ class SAM2VideoPredictor:
 
     # ----------------------------------------------------- frame tracking
 
+    def _host_param(self, *path: str) -> np.ndarray:
+        """Constant param as cached host numpy (fp32): the host-gather path
+        reads these every frame, and each separate device read pays a
+        tunnel round trip."""
+        if path not in self._host_params:
+            node = self.variables["params"]
+            for p in path:
+                node = node[p]
+            self._host_params[path] = np.asarray(node, np.float32)
+        return self._host_params[path]
+
     def _gather_memory(self, state, output_dict, frame_idx, batch_size,
                        track_in_reverse):
         """Host half of _prepare_memory_conditioned_features
@@ -808,7 +834,7 @@ class SAM2VideoPredictor:
             t_pos_and_prevs.append((t_pos, out))
 
         grids, grid_pos = [], []
-        tpos_enc = np.asarray(params["maskmem_tpos_enc"], np.float32)
+        tpos_enc = self._host_param("maskmem_tpos_enc")
         for t_pos, prev in t_pos_and_prevs:
             if prev is None:
                 continue
@@ -873,15 +899,15 @@ class SAM2VideoPredictor:
                 if cfg.add_tpos_enc_to_obj_ptrs:
                     t_diff_max = max_ptrs - 1
                     tdim = C if cfg.proj_tpos_enc_in_obj_ptrs else mem_dim
-                    obj_pos = np.asarray(
-                        get_1d_sine_pe(
-                            jnp.asarray(pos_list, jnp.float32) / t_diff_max, tdim
-                        ),
-                        np.float32,
+                    # host numpy PE (same formula as get_1d_sine_pe) — the
+                    # jnp version cost one device dispatch + readback per
+                    # frame for a tiny positional table
+                    obj_pos = _sine_pe_np(
+                        np.asarray(pos_list, np.float32) / t_diff_max, tdim
                     )
                     if cfg.proj_tpos_enc_in_obj_ptrs:
-                        w_ = np.asarray(params["obj_ptr_tpos_proj"]["kernel"])
-                        b_ = np.asarray(params["obj_ptr_tpos_proj"]["bias"])
+                        w_ = self._host_param("obj_ptr_tpos_proj", "kernel")
+                        b_ = self._host_param("obj_ptr_tpos_proj", "bias")
                         obj_pos = obj_pos @ w_ + b_
                     obj_pos = np.broadcast_to(
                         obj_pos[None], (batch_size, len(pos_list), mem_dim)

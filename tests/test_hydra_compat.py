@@ -62,6 +62,28 @@ def test_instantiate_recursive_and_partial():
         hydra_compat.instantiate({"_target_": "no.such.module.Cls"})
 
 
+def test_instantiate_honors_node_level_recursive_false():
+    """`_recursive_: false` in the config (standard hydra idiom, often
+    with _partial_) must stop eager child instantiation: children pass
+    through as raw dicts instead of being constructed."""
+    import fractions
+
+    node = {
+        "_target_": "builtins.dict",
+        "_recursive_": False,
+        "sub": {"_target_": "fractions.Fraction", "numerator": 3},
+    }
+    got = hydra_compat.instantiate(node)
+    assert got["sub"] == {"_target_": "fractions.Fraction", "numerator": 3}
+    # ...and the subtree can be instantiated later (the deferred pattern)
+    assert hydra_compat.instantiate(got["sub"]) == fractions.Fraction(3)
+    # the flag scopes to its subtree only: siblings above still recurse
+    outer = hydra_compat.instantiate({"a": node, "b": {
+        "_target_": "fractions.Fraction", "numerator": 2}})
+    assert outer["b"] == fractions.Fraction(2)
+    assert outer["a"]["sub"]["_target_"] == "fractions.Fraction"
+
+
 def test_configs_from_reference_shaped_tree():
     tree = hydra_compat.compose(
         str(REPO / "sam2unet_tpu/configs/yaml/sam2_hiera_s.yaml"),
