@@ -210,6 +210,19 @@ def _batched_prefetch(order, produce, batch_size, size, num_workers):
 
     n = len(order)
     out_q: queue.Queue = queue.Queue(maxsize=4)
+    # set when the consumer abandons the generator: without it the producer
+    # would block forever on a full queue, leaking the thread, its pool, and
+    # up to maxsize+1 in-flight fp32 batches per abandoned epoch
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         # any failure (corrupt image, missing file) must reach the consumer:
@@ -219,6 +232,8 @@ def _batched_prefetch(order, produce, batch_size, size, num_workers):
         try:
             with ThreadPoolExecutor(max_workers=num_workers) as pool:
                 for start in range(0, n, batch_size):
+                    if stop.is_set():
+                        return
                     idxs = order[start : start + batch_size]
                     results = list(pool.map(produce, idxs))
                     b = len(results)
@@ -234,17 +249,22 @@ def _batched_prefetch(order, produce, batch_size, size, num_workers):
                     for j in range(b, batch_size):
                         images[j] = images[j % b]
                         labels[j] = labels[j % b]
-                    out_q.put(Batch(images, labels, valid=b))
-            out_q.put(None)
+                    if not put(Batch(images, labels, valid=b)):
+                        return
+            put(None)
         except BaseException as e:  # noqa: BLE001 - forwarded, not swallowed
-            out_q.put(e)
+            put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = out_q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = out_q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        t.join()

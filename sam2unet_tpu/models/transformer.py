@@ -26,6 +26,9 @@ class Attention(nn.Module):
     embedding_dim: int
     num_heads: int
     downsample_rate: int = 1
+    # accepted for reference-config parity only (transformer.py:208-216 sizes
+    # the k/v projections with it); flax Dense infers the input width, so the
+    # value never changes behavior
     kv_in_dim: int | None = None
     dtype: jnp.dtype = jnp.float32
 
@@ -60,6 +63,11 @@ class RoPEAttention(nn.Module):
     embedding_dim: int
     num_heads: int
     downsample_rate: int = 1
+    # kv_in_dim/feat_sizes are accepted for reference-config parity only:
+    # Dense infers the k/v input width, and the RoPE table is always derived
+    # from the runtime token count (below) — the same result the reference
+    # reaches by recomputing freqs_cis whenever the cached feat_sizes table
+    # mismatches the actual sequence (transformer.py:285-293,303-311)
     kv_in_dim: int | None = None
     rope_theta: float = 10000.0
     rope_k_repeat: bool = False

@@ -184,6 +184,7 @@ class SAM2AutomaticMaskGenerator:
                 in_points[:, None, :], in_labels[:, None],
                 multimask_output=self.multimask_output,
                 stability_offset=self.stability_score_offset,
+                mask_threshold=self.mask_threshold,
             )
             m = masks.shape[1]
             data = MaskData(

@@ -88,7 +88,8 @@ class SAM2ImagePredictor:
         self._decode = jax.jit(
             partial(self._decode_fn),
             static_argnames=("multimask_output", "orig_hw", "binarize",
-                             "amg_stats", "stability_offset", "with_low_res"),
+                             "amg_stats", "stability_offset", "with_low_res",
+                             "amg_threshold"),
         )
 
     # ------------------------------------------------------------ features
@@ -190,7 +191,8 @@ class SAM2ImagePredictor:
 
     def _decode_fn(self, variables, image_embed, high0, high1, coords, labels,
                    mask_input, multimask_output, orig_hw=None, binarize=False,
-                   amg_stats=False, stability_offset=1.0, with_low_res=True):
+                   amg_stats=False, stability_offset=1.0, with_low_res=True,
+                   amg_threshold=None):
         """Prompt -> mask program. With orig_hw the whole serving postprocess
         (clip, upscale to the original resolution, optional threshold) runs
         on device inside the same jit — the readback is then the final mask
@@ -236,7 +238,9 @@ class SAM2ImagePredictor:
                 # binarized packed masks; the fp32 full-res logits (236 MB
                 # per 64-point batch at 480x640) never cross the link
                 # (automatic_mask_generator.py:270-298 does this on host)
-                thr = self.mask_threshold
+                # the AMG owns its threshold independently of the predictor's
+                # (automatic_mask_generator.py:45,140 vs sam2_image_predictor.py:24)
+                thr = self.mask_threshold if amg_threshold is None else amg_threshold
                 hi = jnp.sum(full > (thr + stability_offset), axis=(-1, -2))
                 lo = jnp.sum(full > (thr - stability_offset), axis=(-1, -2))
                 # union == 0 (empty mask at the loose threshold) scores 0:
@@ -361,6 +365,7 @@ class SAM2ImagePredictor:
         stability_offset: float = 1.0,
         need_low_res: bool = False,
         img_idx: int = 0,
+        mask_threshold: float | None = None,
     ):
         """AMG fast path: the whole per-batch postprocess (clip, upscale,
         stability score, threshold, bit-pack) runs in the decode jit, so
@@ -372,6 +377,7 @@ class SAM2ImagePredictor:
         b = point_coords.shape[0]
         hw = self._orig_hw[img_idx]
         n_out = 3 if multimask_output else 1
+        thr = self.mask_threshold if mask_threshold is None else float(mask_threshold)
         if (self._transforms.max_hole_area != 0
                 or self._transforms.max_sprinkle_area != 0
                 or b * n_out * hw[0] * hw[1] > 2**28):
@@ -382,10 +388,8 @@ class SAM2ImagePredictor:
                 multimask_output=multimask_output, return_logits=True,
                 img_idx=img_idx,
             )
-            stability = calculate_stability_score(
-                masks, self.mask_threshold, stability_offset
-            )
-            return (masks > self.mask_threshold, ious,
+            stability = calculate_stability_score(masks, thr, stability_offset)
+            return (masks > thr, ious,
                     low_res if need_low_res else None, stability)
 
         coords = np.concatenate(
@@ -406,6 +410,7 @@ class SAM2ImagePredictor:
             amg_stats=True,
             stability_offset=float(stability_offset),
             with_low_res=need_low_res,
+            amg_threshold=thr,
         )
         packed, ious, low_res, stability = jax.device_get(
             (packed, ious, low_res, stability)

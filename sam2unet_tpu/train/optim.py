@@ -46,7 +46,14 @@ def make_optimizer(
 
 
 def is_trainable(path: tuple[str, ...]) -> bool:
-    """True for adapter/neck/decoder/head leaves; False for trunk weights."""
+    """True for adapter/neck/decoder/head leaves; False for trunk weights.
+
+    `up4` is constructed-but-never-called in the reference (SAM2UNet.py:159
+    vs forward :167-172), so its torch grads stay None and torch AdamW skips
+    it entirely — were it in the trainable partition here, optax's decoupled
+    weight decay would shrink it every step despite zero gradients."""
+    if path[0] == "up4":
+        return False
     if path[0] != "encoder":
         return True
     return "prompt_learn" in path

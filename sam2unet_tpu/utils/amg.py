@@ -233,9 +233,11 @@ def coco_encode_rle(uncompressed_rle: dict) -> dict:
 
 
 def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
-    """(amg.py:305-348): XYXY boxes around masks; zeros for empty masks."""
+    """(amg.py:305-348): XYXY boxes around masks; zeros for empty masks.
+    Integer dtype like the reference (torch bool*arange promotes to int64),
+    so downstream record fields ('bbox', 'crop_box') serialize as ints."""
     if masks.size == 0:
-        return np.zeros((*masks.shape[:-2], 4), np.float32)
+        return np.zeros((*masks.shape[:-2], 4), np.int64)
     shape = masks.shape
     h, w = shape[-2:]
     flat = masks.reshape(-1, h, w).astype(bool)
@@ -255,11 +257,12 @@ def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
     empty = (right_edges < left_edges) | (bottom_edges < top_edges)
     out = np.stack([left_edges, top_edges, right_edges, bottom_edges], axis=-1)
     out = out * (~empty)[..., None]
-    return out.reshape(*shape[:-2], 4).astype(np.float32)
+    return out.reshape(*shape[:-2], 4).astype(np.int64)
 
 
 def box_xyxy_to_xywh(box: np.ndarray) -> np.ndarray:
-    box = np.asarray(box, np.float32).copy()
+    # dtype-preserving like the reference's deepcopy (amg.py:255-260)
+    box = np.asarray(box).copy()
     box[2] = box[2] - box[0]
     box[3] = box[3] - box[1]
     return box
@@ -270,6 +273,7 @@ def batched_nms(boxes: np.ndarray, scores: np.ndarray, idxs: np.ndarray,
     """Category-aware greedy NMS (torchvision.ops.batched_nms equivalent)."""
     if len(boxes) == 0:
         return np.zeros(0, np.int64)
+    boxes = np.asarray(boxes, np.float32)  # reference calls .float() before NMS
     # offset boxes per category so cross-category boxes never overlap
     max_coord = boxes.max() + 1
     offsets = idxs.astype(np.float32) * max_coord

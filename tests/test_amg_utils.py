@@ -6,6 +6,7 @@ from sam2unet_tpu.utils.amg import (
     area_from_rle,
     batched_mask_to_box,
     batched_nms,
+    box_xyxy_to_xywh,
     build_point_grid,
     calculate_stability_score,
     generate_crop_boxes,
@@ -38,6 +39,13 @@ def test_batched_mask_to_box():
     boxes = batched_mask_to_box(m)
     np.testing.assert_array_equal(boxes[0], [5, 3, 11, 8])
     np.testing.assert_array_equal(boxes[1], [0, 0, 0, 0])  # empty mask
+    # integer like the reference (torch bool*arange -> int64), so generate()
+    # records serialize 'bbox'/'crop_box' as ints, not 5.0-style floats
+    assert boxes.dtype == np.int64
+    assert batched_mask_to_box(np.zeros((0, 4, 4), bool)).dtype == np.int64
+    xywh = box_xyxy_to_xywh(boxes[0])
+    assert xywh.dtype == np.int64
+    np.testing.assert_array_equal(xywh, [5, 3, 6, 5])
 
 
 def test_stability_score():

@@ -80,6 +80,35 @@ def test_train_dataset_epoch(tiny_dataset):
     np.testing.assert_array_equal(batches[0].image, again[0].image)
 
 
+def test_abandoned_epoch_stops_producer_thread():
+    """Breaking out of an epoch mid-iteration must terminate the producer
+    (it blocks on the bounded queue otherwise, leaking the thread, its pool,
+    and the in-flight batches every abandoned epoch)."""
+    import threading
+    import time
+
+    from sam2unet_tpu.data.dataset import _batched_prefetch
+
+    before = {t.ident for t in threading.enumerate()}
+
+    def produce(i):
+        return (np.zeros((3, 8, 8), np.float32),
+                np.zeros((1, 8, 8), np.float32))
+
+    gen = _batched_prefetch(np.arange(64), produce, batch_size=4, size=8,
+                            num_workers=2)
+    next(gen)
+    gen.close()  # GeneratorExit -> finally must stop + join the producer
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer threads leaked: {leaked}"
+
+
 def test_eval_dataset_contract(tiny_dataset):
     img_dir, gt_dir = tiny_dataset
     ds = EvalDataset(img_dir, gt_dir, size=64)

@@ -425,6 +425,18 @@ def test_predict_amg_matches_host_path(tiny_sam2):
     np.testing.assert_allclose(ious_d, ious_h, rtol=1e-6)
     np.testing.assert_allclose(stab_d, stab_h, rtol=1e-5)
 
+    # a generator-level mask_threshold overrides the predictor's default on
+    # the device path (automatic_mask_generator.py:45,140 keeps them separate)
+    thr = 0.25
+    masks_t, _, _, stab_t = pred._predict_amg(
+        pts, labels, multimask_output=True, stability_offset=1.0,
+        mask_threshold=thr,
+    )
+    np.testing.assert_array_equal(masks_t, logits > thr)
+    np.testing.assert_allclose(
+        stab_t, calculate_stability_score(logits, thr, 1.0), rtol=1e-5
+    )
+
 
 def test_amg_generates_records(tiny_sam2):
     from sam2unet_tpu.predictors.amg import SAM2AutomaticMaskGenerator
@@ -443,6 +455,8 @@ def test_amg_generates_records(tiny_sam2):
         assert set(r) >= {"segmentation", "area", "bbox", "predicted_iou",
                           "point_coords", "stability_score", "crop_box"}
         assert r["segmentation"].shape == (40, 40)
+        # reference emits integer boxes (torch int64 through xyxy_to_xywh)
+        assert all(isinstance(v, int) for v in r["bbox"] + r["crop_box"])
 
 
 def test_video_device_bank_interactive_correction_and_clearing(tiny_sam2):

@@ -61,6 +61,9 @@ def test_peft_mask_freezes_trunk_only():
     assert is_trainable(("head", "bias"))
     assert is_trainable(("encoder", "blocks_3", "prompt_learn", "layers_0", "kernel"))
     assert not is_trainable(("encoder", "blocks_3", "block", "attn", "qkv", "kernel"))
+    # up4 is constructed-but-unused in the reference: its torch grads stay
+    # None so AdamW never touches it (not even weight decay)
+    assert not is_trainable(("up4", "conv", "layers_0", "kernel"))
     assert not is_trainable(("encoder", "pos_embed"))
     assert not is_trainable(("encoder", "patch_embed_proj", "kernel"))
 
