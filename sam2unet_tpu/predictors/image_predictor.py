@@ -16,6 +16,7 @@ import numpy as np
 
 from sam2unet_tpu.models.sam2_base import SAM2Base
 from sam2unet_tpu.predictors.transforms import SAM2Transforms
+from sam2unet_tpu.utils.amg import unpack_bits
 
 
 def _assemble_prompts(box_coords, point_coords, point_labels):
@@ -50,13 +51,15 @@ def _assemble_prompts(box_coords, point_coords, point_labels):
     return coords.astype(np.float32), labels.astype(np.int32)
 
 
-def _unpack_masks(full, hw) -> np.ndarray:
+def _unpack_masks(full, hw, scratch_key: str | None = None) -> np.ndarray:
     """Device-postprocessed masks back to numpy: bit-packed uint8 rows
     (binarize path) are unpacked to bool at the original width; float
-    logits pass through."""
+    logits pass through. scratch_key reuses a warm unpack buffer (see
+    utils.amg.ScratchBuffers) — only for callers that fully consume the
+    masks before the next unpack with the same key."""
     masks = np.asarray(full)
     if masks.dtype == np.uint8:
-        masks = np.unpackbits(masks, axis=-1)[..., : hw[1]].astype(np.bool_)
+        masks = unpack_bits(masks, hw[1], scratch_key=scratch_key)
     return masks
 
 
@@ -415,7 +418,11 @@ class SAM2ImagePredictor:
         packed, ious, low_res, stability = jax.device_get(
             (packed, ious, low_res, stability)
         )
-        masks = _unpack_masks(packed, hw)
+        # warm-buffer unpack: the AMG consumes each batch's masks (boxes +
+        # RLE) before requesting the next, so reuse is safe — and a fresh
+        # ~60 MB bool alloc per 192-mask batch page-faults at ~20-40 MB/s
+        # on the serving host (docs/PERF.md round 3)
+        masks = _unpack_masks(packed, hw, scratch_key="amg_unpack")
         return (
             masks,
             np.asarray(ious),

@@ -17,6 +17,23 @@ from sam2unet_tpu.utils.amg import (
 )
 
 
+def test_unpack_bits_matches_unpackbits():
+    from sam2unet_tpu.utils.amg import unpack_bits
+
+    rng = np.random.default_rng(1)
+    packed = rng.integers(0, 256, (5, 7, 9), dtype=np.uint8)
+    want = np.unpackbits(packed, axis=-1)[..., :70].astype(bool)
+    np.testing.assert_array_equal(unpack_bits(packed, 70), want)
+    # scratch path: same values, and a second call with different data
+    # reuses the buffer without stale bits
+    got1 = unpack_bits(packed, 70, scratch_key="t")
+    np.testing.assert_array_equal(got1, want)
+    packed2 = rng.integers(0, 256, (5, 7, 9), dtype=np.uint8)
+    want2 = np.unpackbits(packed2, axis=-1)[..., :70].astype(bool)
+    got2 = unpack_bits(packed2, 70, scratch_key="t")
+    np.testing.assert_array_equal(got2, want2)
+
+
 def test_rle_roundtrip_and_area():
     rng = np.random.default_rng(0)
     masks = rng.random((4, 13, 17)) > 0.5
