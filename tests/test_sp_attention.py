@@ -26,7 +26,7 @@ def _qkv(seed, b=2, s=64, h=3, d=16):
 
 @pytest.mark.parametrize("fn", [allgather_sdpa, ring_sdpa])
 def test_sp_matches_dense(mesh, fn):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     q, k, v = _qkv(0)
     want = np.asarray(sdpa(q, k, v))
@@ -50,7 +50,7 @@ def test_sp_matches_dense(mesh, fn):
 def test_ring_sdpa_uneven_softmax_stability(mesh):
     """Large logit offsets across blocks must not break the online
     softmax (running max handles blocks seen in any order)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     q, k, v = _qkv(1)
     # make one token block dominate: huge key norms in shard 3
@@ -76,7 +76,7 @@ def test_hiera_global_block_sequence_parallel_matches_dense(mesh):
     """Hiera with sp_axis set: the global-attention block runs ring
     attention over the mesh axis inside shard_map and the whole-trunk
     outputs must match the dense forward."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from sam2unet_tpu.configs import HieraConfig
     from sam2unet_tpu.models.hiera import Hiera
@@ -114,7 +114,7 @@ def test_hiera_global_block_sequence_parallel_matches_dense(mesh):
         fn = shard_map(
             lambda v, xx: sp_model.apply(v, xx, train=False),
             mesh=mesh, in_specs=(P(), P()), out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
         got = jax.jit(fn)(variables, x)
     finally:
