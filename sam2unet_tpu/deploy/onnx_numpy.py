@@ -486,6 +486,64 @@ class NumpyOnnxRunner:
         win = win[:, :, ::sh, ::sw, ::dh, ::dw]
         return win.max(axis=(-2, -1))
 
+    def op_AveragePool(self, a, x, env=None):
+        kh, kw = a["kernel_shape"]
+        sh, sw = a.get("strides", [1, 1])
+        n_, c_, h_, w_ = x.shape
+        pt, pl, pb, pr = self._resolve_pads(a, (h_, w_), (kh, kw), (sh, sw))
+        if a.get("ceil_mode", 0):
+            ho = -(-(h_ + pt + pb - kh) // sh) + 1
+            wo = -(-(w_ + pl + pr - kw) // sw) + 1
+            pb = max(pb, (ho - 1) * sh + kh - h_ - pt)
+            pr = max(pr, (wo - 1) * sw + kw - w_ - pl)
+        xp = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+        win = sliding_window_view(xp, (kh, kw), axis=(2, 3))
+        s = win[:, :, ::sh, ::sw].sum(axis=(-2, -1))
+        if a.get("count_include_pad", 0):
+            denom = float(kh * kw)
+        else:
+            ones = np.pad(np.ones((h_, w_), np.float64),
+                          ((pt, pb), (pl, pr)))
+            denom = sliding_window_view(ones, (kh, kw))[::sh, ::sw].sum(
+                axis=(-2, -1)
+            )
+        return (s / denom).astype(x.dtype)
+
+    def op_ConvTranspose(self, a, x, w, b=None, env=None):
+        if a.get("auto_pad", "NOTSET") not in ("NOTSET", "VALID"):
+            raise NotImplementedError("ConvTranspose auto_pad SAME_*")
+        n, cin, h, wi = x.shape
+        _, cog, kh, kw = w.shape  # (Cin, Cout/g, kh, kw)
+        g = a.get("group", 1)
+        sh, sw = a.get("strides", [1, 1])
+        dh, dw = a.get("dilations", [1, 1])
+        oph, opw = a.get("output_padding", [0, 0])
+        khe, kwe = (kh - 1) * dh + 1, (kw - 1) * dw + 1
+        pt, pl, pb, pr = tuple(a.get("pads", [0, 0, 0, 0]))
+        # equivalent stride-1 conv: dilate the input by the stride, pad
+        # fully (k_eff - 1) each side + output_padding at the end, run a
+        # flipped-kernel conv, then crop by the declared pads — cropping
+        # avoids negative-pad arithmetic entirely
+        xd = np.zeros(
+            (n, cin, (h - 1) * sh + 1 + oph, (wi - 1) * sw + 1 + opw),
+            x.dtype,
+        )
+        xd[:, :, : (h - 1) * sh + 1 : sh, : (wi - 1) * sw + 1 : sw] = x
+        cin_g = cin // g
+        wf = w[:, :, ::-1, ::-1].reshape(g, cin_g, cog, kh, kw)
+        wf = wf.transpose(0, 2, 1, 3, 4).reshape(g * cog, cin_g, kh, kw)
+        out = self.op_Conv(
+            {
+                "group": g,
+                "strides": [1, 1],
+                "dilations": [dh, dw],
+                "pads": [khe - 1, kwe - 1, khe - 1, kwe - 1],
+            },
+            xd, wf, b,
+        )
+        h_full, w_full = out.shape[2], out.shape[3]
+        return out[:, :, pt : h_full - pb, pl : w_full - pr]
+
     def op_GlobalAveragePool(self, a, x, env=None):
         return np.mean(x, axis=(-2, -1), keepdims=True).astype(x.dtype)
 

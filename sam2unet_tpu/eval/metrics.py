@@ -90,18 +90,7 @@ def evaluate_segmentation_performance(
         iou_m = np.zeros((n_pred, n_gt))
 
     for thresh in IOU_THRESHOLDS:
-        tp = 0
-        matched: set[int] = set()
-        for p in range(n_pred):
-            best_iou, best_g = 0.0, -1
-            for g in range(n_gt):
-                if g in matched:
-                    continue
-                if iou_m[p, g] > best_iou:
-                    best_iou, best_g = iou_m[p, g], g
-            if best_iou >= thresh:
-                tp += 1
-                matched.add(best_g)
+        tp = _greedy_tp(iou_m, thresh)
         precision = tp / n_pred if n_pred > 0 else 0.0
         recall = tp / n_gt if n_gt > 0 else 0.0
         f1 = (
@@ -115,6 +104,30 @@ def evaluate_segmentation_performance(
         result[f"{INSTANCE_F1}_{suffix}"] = f1
 
     return result
+
+
+def _greedy_tp(iou_m: np.ndarray, thresh: float) -> int:
+    """Greedy best-IoU matching with the reference's exact semantics
+    (eval.py:124-152): preds claim gts in pred-index order, each taking the
+    still-unmatched gt with the highest IoU (ties -> lowest gt index, the
+    strict-`>` scan's behavior), counted as TP when that IoU >= thresh.
+
+    The match sequence is sequential through the matched set, so the pred
+    loop stays Python — but the per-pred scan is one masked argmax, taking
+    the inner loop from O(G) interpreted steps to a single C pass. Dense
+    instance maps (hundreds of components, AMG-style) go from O(P*G)
+    Python to O(P) Python. Equivalence vs the literal reference loop is
+    pinned by a randomized test (tests/test_data_and_metrics.py)."""
+    n_pred, n_gt = iou_m.shape
+    avail = np.ones(n_gt, dtype=bool)
+    tp = 0
+    for p in range(n_pred):
+        row = np.where(avail, iou_m[p], 0.0)
+        g = int(np.argmax(row)) if n_gt else -1
+        if g >= 0 and row[g] >= thresh and row[g] > 0.0:
+            tp += 1
+            avail[g] = False
+    return tp
 
 
 def evaluate_dataset(all_image_results: list[dict[str, float]]) -> dict:

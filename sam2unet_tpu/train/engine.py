@@ -127,13 +127,27 @@ def make_train_step(
     if use_shard_map:
         from jax import shard_map
 
+        def global_loss_fn(trainable, frozen, batch_stats, images, labels):
+            # the pmean is INSIDE the differentiated function: under vma
+            # typing (check_vma=True, the default) the cotangent of the
+            # unvarying `trainable` is automatically psum'd over 'data'
+            # when it crosses the unvarying->varying broadcast, so
+            # differentiating the pmean'd (global-batch mean) loss yields
+            # exactly the global mean grad — psum(local_grad / n) — with
+            # no explicit grad collective. Differentiating the LOCAL loss
+            # and pmean-ing grads afterwards (the pre-vma idiom) would
+            # double-count: the implicit psum already summed the shards,
+            # and pmean of identical values divides nothing (caught by
+            # tests/test_shard_map_dp.py as an exactly-8x grad error).
+            loss, new_stats = loss_fn(
+                trainable, frozen, batch_stats, images, labels
+            )
+            return jax.lax.pmean(loss, DATA_AXIS), new_stats
+
         def local_step(state: TrainState, images, labels):
             (loss, new_stats), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
+                global_loss_fn, has_aux=True
             )(state.trainable, state.frozen, state.batch_stats, images, labels)
-            # equal-sized shards: pmean of per-shard means == global mean
-            grads = jax.lax.pmean(grads, DATA_AXIS)
-            loss = jax.lax.pmean(loss, DATA_AXIS)
             # BN stats were already cross-shard reduced inside the model
             # (bn_axis SyncBN), so every device holds identical new_stats
             updates, opt_state = optimizer.update(
@@ -148,12 +162,15 @@ def make_train_step(
             )
             return new_state, {"loss": loss}
 
+        # check_vma stays ON (default): state arrives unvarying (P()), the
+        # loss is pmean'd over 'data' and grads inherit unvarying-ness from
+        # the implicit cotangent psum — so the P() out_specs are statically
+        # inferable.
         return jax.jit(
             shard_map(
                 local_step, mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
                 out_specs=(P(), P()),
-                check_vma=False,
             ),
             donate_argnums=(0,) if donate else (),
         )
@@ -191,12 +208,14 @@ def make_eval_step(
     if use_shard_map:
         from jax import shard_map
 
+        # check_vma stays ON (default): images vary over 'data' only, so
+        # the P(DATA_AXIS) out_specs replication over any other mesh axis
+        # is statically inferable.
         return jax.jit(
             shard_map(
                 fwd, mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS)),
                 out_specs=P(DATA_AXIS),
-                check_vma=False,
             )
         )
     repl = NamedSharding(mesh, P())

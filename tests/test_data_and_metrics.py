@@ -176,3 +176,37 @@ def test_empty_masks_no_nan():
     r = evaluate_segmentation_performance(z, z)
     assert r["semantic_iou"] == 0.0 and r["dice_coefficient"] == 0.0
     assert r["instance_f1_50"] == 0.0
+
+
+def test_greedy_matcher_equivalent_to_reference_loop():
+    """The vectorized greedy matcher (eval/metrics.py::_greedy_tp) must
+    reproduce the literal reference greedy loop (eval.py:124-152) on
+    randomized IoU matrices, including heavy ties and degenerate shapes."""
+    from sam2unet_tpu.eval.metrics import _greedy_tp
+
+    def reference_loop(iou_m, thresh):
+        n_pred, n_gt = iou_m.shape
+        tp = 0
+        matched = set()
+        for p in range(n_pred):
+            best_iou, best_g = 0.0, -1
+            for g in range(n_gt):
+                if g in matched:
+                    continue
+                if iou_m[p, g] > best_iou:
+                    best_iou, best_g = iou_m[p, g], g
+            if best_iou >= thresh:
+                tp += 1
+                matched.add(best_g)
+        return tp
+
+    rng = np.random.default_rng(0)
+    shapes = [(0, 0), (0, 5), (5, 0), (1, 1), (3, 7), (7, 3), (20, 20)]
+    for trial in range(50):
+        n_p, n_g = shapes[trial % len(shapes)]
+        # quantized values force frequent exact ties
+        iou = rng.integers(0, 5, size=(n_p, n_g)).astype(np.float64) / 4.0
+        for thresh in (0.5, 0.75):
+            assert _greedy_tp(iou, thresh) == reference_loop(iou, thresh), (
+                trial, thresh, iou,
+            )

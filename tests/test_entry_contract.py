@@ -3,6 +3,8 @@
 import subprocess
 import sys
 
+import pytest
+
 
 def test_entry_traces():
     import jax
@@ -15,7 +17,14 @@ def test_entry_traces():
     assert [o.shape for o in out] == [(1, 352, 352, 1)] * 3
 
 
-def test_dryrun_multichip_8():
+@pytest.mark.slow
+def test_dryrun_multichip_8(monkeypatch):
+    """Full phase set (DRYRUN_FULL=1): the driver itself only runs the
+    cheap 3-phase default (post-MULTICHIP_r03 contract hardening); the
+    heavy hiera_l@256 shard_map and ring-attention SP phases are exercised
+    here instead, with no wall-clock skip so every phase really runs."""
+    monkeypatch.setenv("DRYRUN_FULL", "1")
+    monkeypatch.setenv("DRYRUN_BUDGET_S", "100000")
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)

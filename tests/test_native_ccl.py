@@ -7,6 +7,7 @@ import pytest
 
 
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+@pytest.mark.slow
 def test_native_build_and_match(tmp_path):
     from sam2unet_tpu.ops import build_native
     from sam2unet_tpu.ops import connected_components as cc

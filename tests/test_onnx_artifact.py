@@ -377,6 +377,36 @@ def test_onnx_artifact_matches_framework(onnx_setup):
     assert max_diff < 5e-4
 
 
+def test_onnx_artifact_matches_tf_savedmodel(onnx_setup, tmp_path):
+    """Cross-verify the .onnx through two INDEPENDENT execution paths of
+    the same weights: torch-bridge .onnx under the in-repo numpy runtime
+    vs jax2tf SavedModel under the TensorFlow runtime (a third-party
+    engine actually executing). Exporter and verifier no longer share a
+    single code path — the closest this image gets to the reference's
+    onnxruntime check (convert_onnx.py:69-107)."""
+    tf = pytest.importorskip("tensorflow")
+    from sam2unet_tpu.interop.export import export_tf_savedmodel
+
+    _, model, variables, onnx_path = onnx_setup
+    sm = str(tmp_path / "sm")
+    export_tf_savedmodel(model, variables, SIZE, sm)
+    loaded = tf.saved_model.load(sm)
+
+    x_nhwc = np.random.default_rng(9).standard_normal(
+        (1, SIZE, SIZE, 3)
+    ).astype(np.float32)
+    tf_out = loaded.f(tf.constant(x_nhwc))
+    runner = NumpyOnnxRunner(onnx_path)
+    onnx_out = runner(x_nhwc.transpose(0, 3, 1, 2))
+    assert set(tf_out.keys()) == set(runner.output_names)
+    for name in runner.output_names:
+        got = onnx_out[name].transpose(0, 2, 3, 1)  # NCHW -> NHWC
+        want = np.asarray(tf_out[name])
+        np.testing.assert_allclose(
+            got, want, rtol=1e-3, atol=1e-3, err_msg=name
+        )
+
+
 def test_segmenter_onnx_backend(onnx_setup):
     from sam2unet_tpu.deploy.segmenter import SamUnetSegmenter
 

@@ -111,6 +111,11 @@ def test_hiera_global_block_sequence_parallel_matches_dense(mesh):
     spa.ring_sdpa = counting
     try:
         sp_model = Hiera(cfg, sp_axis="seq", sp_degree=8)
+        # check_vma=False is required: the SP path ends in lax.all_gather
+        # over 'seq', whose output the vma system types as varying over
+        # that axis even though every device holds identical values — the
+        # replicated P() out_spec can never be statically inferred. The
+        # allclose below IS the replication check.
         fn = shard_map(
             lambda v, xx: sp_model.apply(v, xx, train=False),
             mesh=mesh, in_specs=(P(), P()), out_specs=P(),

@@ -20,6 +20,7 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+@pytest.mark.slow
 def test_wheel_ships_native_libs(tmp_path):
     wheel_dir = tmp_path / "dist"
     subprocess.run(
