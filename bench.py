@@ -250,6 +250,9 @@ def main() -> None:
     p.add_argument("--fold_bn", action="store_true",
                    help="fold BatchNorms into conv kernels before the "
                         "inference bench (nn/fold_bn.py A/B)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint per trunk block (train-side "
+                        "recompute-vs-bytes A/B)")
     args = p.parse_args()
 
     primary_metric = (
@@ -275,6 +278,7 @@ def main() -> None:
     model = SAM2UNet(
         SAM2UNetConfig(trunk=hiera_config(args.model_cfg)),
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        remat=args.remat,
     )
     x = jnp.zeros((args.batch, args.size, args.size, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(

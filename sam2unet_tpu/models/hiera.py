@@ -239,6 +239,19 @@ class MultiScaleBlock(nn.Module):
                                            *wargs, n_pad=n_pad, **kargs)
                     outs.append(o.reshape(nw_, gh, gw, c))
                 y = window_merge_valid(outs, b, h, w, window)
+            elif window > 0 and (window * window) % 16 == 0:
+                # divisible grid, 16-aligned token count: strip-I/O kernel —
+                # the window partition/merge happens IN VMEM (5-D transpose
+                # at the first/last head step), so the two full-activation
+                # layout copies per block the HLO byte audit flagged
+                # (docs/PERF.md round 4) never reach HBM, and the residual
+                # saved for backward is the raw x
+                from sam2unet_tpu.ops.pallas.fused_attention_block import (
+                    fused_window_block_strips,
+                )
+
+                y = fused_window_block_strips(xd, *wargs, window=window,
+                                              **kargs)
             elif window > 0:
                 xw, pad_hw = window_partition(xd, window)
                 nw_, wh, ww, c = xw.shape

@@ -712,6 +712,417 @@ def _fused_window_block_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
             dbp.reshape(c))
 
 
+# --------------------------------------------------------------------------
+# Strip-I/O variant: the kernel consumes the UNPARTITIONED activations.
+#
+# The HLO byte audit (scripts/bytes_audit.py, docs/PERF.md round 4) showed
+# the window partition/merge around every divisible-grid fused-block call
+# materializes two full-activation layout copies per block (71.4 MB each at
+# hiera_l@352 stage 1/2, batch 32) — plus the bwd consumes the saved
+# PARTITIONED x, keeping a third copy live. This variant takes x as
+# (B*nH, ws, W, c) row strips (a free bitcast view of (B, H, W, c)), and
+# does the window grouping IN VMEM: one 5-D transpose at the first head
+# step and one inverse transpose at the last. HBM sees only the raw
+# activations, in and out; the residual saved for backward is the raw x.
+# Divisible grids only (H % ws == 0 == W % ws): remainder grids keep the
+# valid-group path.
+# --------------------------------------------------------------------------
+
+
+def _strip_kernel(x_ref, w_ref, b_ref, ln_ref, wp_ref, bp_ref, o_ref,
+                  y_buf, acc,
+                  *, nh: int, nw: int, ws: int, scale: float,
+                  residual: bool, resident: bool):
+    h = pl.program_id(1)
+    hw = h if resident else 0
+    x = x_ref[:]                                   # (gs, ws, W, c)
+    gs, _, wd, c = x.shape
+    g = gs * nw
+    s = ws * ws
+
+    @pl.when(h == 0)
+    def _():
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+        y = y * ln_ref[0].astype(jnp.float32) + ln_ref[1].astype(jnp.float32)
+        yw = y.astype(x.dtype).reshape(gs, ws, nw, ws, c)
+        y_buf[:] = yw.transpose(0, 2, 1, 3, 4).reshape(g, s, c)
+
+    y2 = y_buf[:].reshape(g * s, c)
+    qkv = jax.lax.dot_general(                     # (G*S, 3d) fp32
+        y2, w_ref[hw], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + b_ref[hw].astype(jnp.float32)).astype(x.dtype)
+    d = qkv.shape[-1] // 3
+    q = qkv[:, :d].reshape(g, s, d)
+    k = qkv[:, d : 2 * d].reshape(g, s, d)
+    v = qkv[:, 2 * d :].reshape(g, s, d)
+
+    sc = jax.lax.dot_general(                      # (G, S, S) fp32
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    m = jnp.max(sc, axis=-1)
+    e = jnp.exp(sc - m[..., None])
+    den = jnp.sum(e, axis=-1)
+    p = (e / den[..., None]).astype(x.dtype)
+    o = jax.lax.dot_general(                       # (G, S, d) fp32
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    out_h = jax.lax.dot_general(                   # (G*S, c) fp32
+        o.astype(x.dtype).reshape(g * s, d), wp_ref[hw],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(g, s, c)
+
+    @pl.when(h == 0)
+    def _():
+        acc[:] = out_h
+
+    @pl.when(h > 0)
+    def _():
+        acc[:] = acc[:] + out_h
+
+    @pl.when(h == nh - 1)
+    def _():
+        out = acc[:] + bp_ref[:].astype(jnp.float32)
+        ob = out.reshape(gs, nw, ws, ws, c).transpose(0, 2, 1, 3, 4)
+        ob = ob.reshape(gs, ws, wd, c)
+        if residual:
+            ob = ob + x.astype(jnp.float32)
+        o_ref[:] = ob.astype(o_ref.dtype)
+
+
+def _strip_bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref, dx_ref,
+                      y_buf, gy_buf, mu_buf, r_buf, dy_acc,
+                      *, nh: int, nw: int, ws: int, scale: float,
+                      residual: bool, resident: bool):
+    """dx-only backward (frozen trunk): recompute LN/qkv/softmax in VMEM
+    from the RAW strip x, accumulate dy over heads in window order, then
+    inverse-transpose once and finish the LN backward in strip order."""
+    h = pl.program_id(1)
+    hw = h if resident else 0
+    x = x_ref[:]                                   # (gs, ws, W, c)
+    gy = g_ref[:]
+    gs, _, wd, c = x.shape
+    g = gs * nw
+    s = ws * ws
+
+    @pl.when(h == 0)
+    def _():
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        r = jax.lax.rsqrt(var + _LN_EPS)
+        y = (xf - mu) * r
+        y = y * ln_ref[0].astype(jnp.float32) + ln_ref[1].astype(jnp.float32)
+        yw = y.astype(x.dtype).reshape(gs, ws, nw, ws, c)
+        y_buf[:] = yw.transpose(0, 2, 1, 3, 4).reshape(g, s, c)
+        gw = gy.reshape(gs, ws, nw, ws, c)
+        gy_buf[:] = gw.transpose(0, 2, 1, 3, 4).reshape(g, s, c)
+        mu_buf[:] = mu
+        r_buf[:] = r
+
+    # ---- forward recompute for this head (window order) ----
+    w3h = w_ref[hw]
+    y2 = y_buf[:].reshape(g * s, c)
+    qkv = jax.lax.dot_general(
+        y2, w3h, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + b_ref[hw].astype(jnp.float32)).astype(x.dtype)
+    d = qkv.shape[-1] // 3
+    q = qkv[:, :d].reshape(g, s, d)
+    k = qkv[:, d : 2 * d].reshape(g, s, d)
+    v = qkv[:, 2 * d :].reshape(g, s, d)
+    sc = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    m = jnp.max(sc, axis=-1, keepdims=True)
+    e = jnp.exp(sc - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    # ---- backward (window order) ----
+    g2 = gy_buf[:].reshape(g * s, c)
+    do = jax.lax.dot_general(
+        g2, wp_ref[hw], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(g, s, d)
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale).astype(
+        x.dtype
+    )
+    dq = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dv = jax.lax.dot_general(
+        p.astype(x.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dqf = dq.astype(x.dtype).reshape(g * s, d)
+    dkf = dk.astype(x.dtype).reshape(g * s, d)
+    dvf = dv.astype(x.dtype).reshape(g * s, d)
+    wq = w3h[:, :d]
+    wk = w3h[:, d : 2 * d]
+    wv = w3h[:, 2 * d :]
+
+    def dotT(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dy_h = (dotT(dqf, wq) + dotT(dkf, wk) + dotT(dvf, wv)).reshape(g, s, c)
+
+    @pl.when(h == 0)
+    def _():
+        dy_acc[:] = dy_h
+
+    @pl.when(h > 0)
+    def _():
+        dy_acc[:] = dy_acc[:] + dy_h
+
+    @pl.when(h == nh - 1)
+    def _():
+        dyw = dy_acc[:].reshape(gs, nw, ws, ws, c).transpose(0, 2, 1, 3, 4)
+        dy = dyw.reshape(gs, ws, wd, c)            # strip order, f32
+        xf = x.astype(jnp.float32)
+        r = r_buf[:]
+        xhat = (xf - mu_buf[:]) * r
+        dxhat = dy * ln_ref[0].astype(jnp.float32)
+        mean1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mean2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = r * (dxhat - mean1 - xhat * mean2)
+        if residual:
+            dx = dx + gy.astype(jnp.float32)
+        dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _pick_strips(n_strips: int, nw: int, s: int, c: int, d: int,
+                 live_budget: int, resident: bool) -> int:
+    """Largest divisor of n_strips whose g = gs*nw windows keep live VMEM
+    values within the budget (same accounting as _pick_group, plus the
+    strip-order x/out blocks and gy/y scratches)."""
+    per_window = s * c * 18 + s * s * 8 + (0 if resident else 8 * c * d)
+    target = max(1, live_budget // max(per_window * nw, 1))
+    gs = min(n_strips, target, 64)
+    while n_strips % gs:
+        gs -= 1
+    return max(gs, 1)
+
+
+def _xla_strips(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
+                num_heads, window, residual):
+    """Reference form on (B, H, W, c): partition -> XLA block ->
+    unpartition (exact for divisible grids; no pads)."""
+    from sam2unet_tpu.ops.windowing import window_partition, window_unpartition
+
+    b, hh, wd, c = x.shape
+    xw, pad_hw = window_partition(x, window)
+    nw_, wh, ww, _ = xw.shape
+    o = _xla_window_block(
+        xw.reshape(nw_, wh * ww, c), w_qkv, b_qkv, ln_scale, ln_bias,
+        w_proj, b_proj, num_heads, 0, residual,
+    )
+    return window_unpartition(o.reshape(nw_, wh, ww, c), window,
+                              pad_hw, (hh, wd))
+
+
+def fused_window_block_strips(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
+                              b_proj, num_heads: int, window: int,
+                              residual: bool = True,
+                              weight_grads: bool = True):
+    """x: (B, H, W, c) with H % window == 0 == W % window -> same shape.
+
+    Equivalent to window_partition -> fused_window_block -> unpartition,
+    but the partition/merge never touches HBM (docs/PERF.md round 4)."""
+    assert x.shape[1] % window == 0 and x.shape[2] % window == 0
+    return _fused_strips_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
+                             b_proj, num_heads, window, residual,
+                             weight_grads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _fused_strips_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
+                      num_heads, window, residual, weight_grads=True):
+    b, hh, wd, c = x.shape
+    s = window * window
+    d = c // num_heads
+    s_pad16 = s + (-s) % 16
+    window_live = 8 * s_pad16 * s_pad16 + 14 * s_pad16 * c
+    if (dispatch.xla_only() or window_live > 12 * 1024 * 1024
+            or s % 16):
+        # s % 16 != 0 would need the row-pad machinery of the partitioned
+        # form; every Hiera window (8/4/16/7/14 -> s 64/16/256/49/196...)
+        # that reaches here is 16-aligned except 7x7=49 — route those to
+        # the partitioned path at the call site.
+        return _xla_strips(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
+                           b_proj, num_heads, window, residual)
+    return _fused_strips_fwd_impl(x, w_qkv, b_qkv, ln_scale, ln_bias,
+                                  w_proj, b_proj, num_heads, window,
+                                  residual)
+
+
+def _fused_strips_fwd_impl(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
+                           b_proj, num_heads, window, residual,
+                           interpret=False):
+    b, hh, wd, c = x.shape
+    nh_heads = num_heads
+    d = c // nh_heads
+    ws = window
+    n_h, n_w = hh // ws, wd // ws
+    s = ws * ws
+    xr = x.reshape(b * n_h, ws, wd, c)             # free bitcast view
+    resident, live_budget = _pick_layout(nh_heads, c, d, x.dtype.itemsize)
+    gs = _pick_strips(b * n_h, n_w, s, c, d, live_budget, resident)
+    w3 = w_qkv.reshape(c, 3, nh_heads, d).transpose(2, 0, 1, 3).reshape(
+        nh_heads, c, 3 * d)
+    b3 = b_qkv.reshape(3, nh_heads, d).transpose(1, 0, 2).reshape(
+        nh_heads, 1, 3 * d)
+    wp3 = w_proj.reshape(nh_heads, d, c)
+    ln = jnp.stack([jnp.asarray(ln_scale, x.dtype),
+                    jnp.asarray(ln_bias, x.dtype)])
+    wspec = _weight_specs(resident, nh_heads)
+    g = gs * n_w
+    out = pl.pallas_call(
+        functools.partial(_strip_kernel, nh=nh_heads, nw=n_w, ws=ws,
+                          scale=1.0 / math.sqrt(d), residual=residual,
+                          resident=resident),
+        grid=(b * n_h // gs, nh_heads),
+        in_specs=[
+            pl.BlockSpec((gs, ws, wd, c), lambda i, h: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(c, 3 * d),
+            wspec(1, 3 * d),
+            pl.BlockSpec((2, c), lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(d, c),
+            pl.BlockSpec((1, c), lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gs, ws, wd, c), lambda i, h: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g, s, c), x.dtype),        # normed, window order
+            pltpu.VMEM((g, s, c), jnp.float32),    # proj accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (b * n_h * n_w) * s * (c * 4 * c + nh_heads * s * 2 * d),
+            bytes_accessed=2 * b * hh * wd * c * x.dtype.itemsize,
+            transcendentals=b * n_h * n_w * nh_heads * s * s,
+        ),
+        interpret=interpret,
+    )(xr, w3.astype(x.dtype), b3.astype(jnp.float32), ln,
+      wp3.astype(x.dtype), b_proj.reshape(1, -1).astype(jnp.float32))
+    return out.reshape(b, hh, wd, c)
+
+
+def _fused_strips_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
+                           num_heads, window, residual, interpret=False):
+    """dx-only Pallas backward on raw strips (frozen trunk)."""
+    b, hh, wd, c = x.shape
+    nh_heads = num_heads
+    d = c // nh_heads
+    ws = window
+    n_h, n_w = hh // ws, wd // ws
+    s = ws * ws
+    xr = x.reshape(b * n_h, ws, wd, c)
+    gr = gy.reshape(b * n_h, ws, wd, c)
+    resident, live_budget = _pick_layout(nh_heads, c, d, x.dtype.itemsize,
+                                         cap=10 * 1024 * 1024)
+    gs = max(1, _pick_strips(b * n_h, n_w, s, c, d, live_budget,
+                             resident) // 2)
+    while (b * n_h) % gs:
+        gs -= 1
+    g = gs * n_w
+    w3 = w_qkv.reshape(c, 3, nh_heads, d).transpose(2, 0, 1, 3).reshape(
+        nh_heads, c, 3 * d)
+    b3 = b_qkv.reshape(3, nh_heads, d).transpose(1, 0, 2).reshape(
+        nh_heads, 1, 3 * d)
+    wp3 = w_proj.reshape(nh_heads, d, c)
+    ln = jnp.stack([jnp.asarray(ln_scale, x.dtype),
+                    jnp.asarray(ln_bias, x.dtype)])
+    wspec = _weight_specs(resident, nh_heads)
+    f32 = jnp.float32
+    dx = pl.pallas_call(
+        functools.partial(_strip_bwd_kernel, nh=nh_heads, nw=n_w, ws=ws,
+                          scale=1.0 / math.sqrt(d), residual=residual,
+                          resident=resident),
+        grid=(b * n_h // gs, nh_heads),
+        in_specs=[
+            pl.BlockSpec((gs, ws, wd, c), lambda i, h: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs, ws, wd, c), lambda i, h: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(c, 3 * d),
+            wspec(1, 3 * d),
+            pl.BlockSpec((2, c), lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(d, c),
+        ],
+        out_specs=pl.BlockSpec((gs, ws, wd, c), lambda i, h: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g, s, c), x.dtype),        # y (normed, window order)
+            pltpu.VMEM((g, s, c), x.dtype),        # gy (window order)
+            pltpu.VMEM((gs, ws, wd, 1), f32),      # mu (strip order)
+            pltpu.VMEM((gs, ws, wd, 1), f32),      # rsqrt(var)
+            pltpu.VMEM((g, s, c), f32),            # dy accumulator
+        ],
+        interpret=interpret,
+    )(xr, gr, w3.astype(x.dtype), b3.astype(f32), ln, wp3.astype(x.dtype))
+    return dx.reshape(b, hh, wd, c)
+
+
+def _strips_fwd(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
+                num_heads, window, residual, weight_grads=True):
+    out = _fused_strips_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
+                            b_proj, num_heads, window, residual,
+                            weight_grads)
+    return out, (x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj)
+
+
+def _strips_bwd(num_heads, window, residual, weight_grads, res, g):
+    x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj = res
+    c = x.shape[-1]
+    s = window * window
+    s_pad16 = s + (-s) % 16
+    window_live = 12 * s_pad16 * s_pad16 + 18 * s_pad16 * c
+    if (not weight_grads and s % 16 == 0
+            and window_live <= 8 * 1024 * 1024
+            and not dispatch.xla_only()):
+        dx = _fused_strips_bwd_impl(x, g, w_qkv, b_qkv, ln_scale, ln_bias,
+                                    w_proj, num_heads, window, residual)
+        zeros = [jnp.zeros_like(t) for t in
+                 (w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj)]
+        return (dx, *zeros)
+
+    def ref(xx, ww, bb, ls, lb, wp, bp):
+        return _xla_strips(xx, ww, bb, ls, lb, wp, bp, num_heads, window,
+                           residual)
+
+    _, vjp = jax.vjp(ref, x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj)
+    return vjp(g)
+
+
+_fused_strips_vjp.defvjp(_strips_fwd, _strips_bwd)
+
+
 def _fwd(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
          attn_mask, pad_logmult, num_heads, n_pad, residual,
          weight_grads=True, masked=False):

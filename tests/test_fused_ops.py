@@ -453,3 +453,100 @@ def test_adapter_bwd_kernel_interpret():
     for a, r in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_strip_kernel_forward_interpret():
+    """The strip-I/O forward kernel (in-VMEM window partition, interpret
+    mode) == partition -> XLA block -> unpartition on divisible grids, for
+    several (grid, window, heads) shapes and both weight layouts."""
+    from unittest import mock
+
+    import sam2unet_tpu.ops.pallas.fused_attention_block as fab
+
+    rng = np.random.default_rng(13)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+
+    def run(b, hh, wd, c, nh, window, gs=1, residual=True):
+        x, w, bq = mk(b, hh, wd, c), mk(c, 3 * c), mk(3 * c)
+        lns, lnb, wp, bp = mk(c) + 1, mk(c), mk(c, c), mk(c)
+        with mock.patch.object(fab, "_pick_strips", lambda *a: gs):
+            got = fab._fused_strips_fwd_impl(
+                x, w, bq, lns, lnb, wp, bp, nh, window, residual,
+                interpret=True)
+        want = fab._xla_strips(x, w, bq, lns, lnb, wp, bp, nh, window,
+                               residual)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    run(2, 8, 16, 24, 2, 4)                # 2x4 window grid, 2 strips
+    run(2, 8, 16, 24, 2, 4, gs=2)          # multi-strip blocks
+    run(1, 16, 16, 64, 8, 4)               # many heads (resident stacks)
+    run(2, 8, 8, 24, 2, 8, residual=False) # single window per strip
+    with mock.patch.object(fab, "_resident_bytes", lambda *a: 1 << 30):
+        run(2, 8, 16, 24, 2, 4)            # revolving weight layout
+
+
+def test_strip_kernel_backward_interpret():
+    """The strip-I/O dx-only backward kernel (interpret mode) == jax.vjp
+    of the partition -> XLA block -> unpartition reference."""
+    from unittest import mock
+
+    import sam2unet_tpu.ops.pallas.fused_attention_block as fab
+
+    rng = np.random.default_rng(14)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+
+    def run(b, hh, wd, c, nh, window, residual=True):
+        x, w, bq = mk(b, hh, wd, c), mk(c, 3 * c), mk(3 * c)
+        lns, lnb, wp, bp = mk(c) + 1, mk(c), mk(c, c), mk(c)
+        g = mk(b, hh, wd, c)
+        got = fab._fused_strips_bwd_impl(x, g, w, bq, lns, lnb, wp, nh,
+                                         window, residual, interpret=True)
+        want = jax.vjp(
+            lambda xx: fab._xla_strips(xx, w, bq, lns, lnb, wp, bp, nh,
+                                       window, residual),
+            x,
+        )[1](g)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    run(2, 8, 16, 24, 2, 4)
+    run(1, 16, 16, 64, 8, 4)
+    run(2, 8, 8, 24, 2, 8, residual=False)
+
+
+def test_strip_block_value_and_grad_through_custom_vjp():
+    """fused_window_block_strips through the public custom_vjp (CPU XLA
+    dispatch) == the partitioned fused_window_block path, value and dx,
+    so the hiera.py divisible-branch rewiring is drop-in."""
+    from sam2unet_tpu.ops.pallas.fused_attention_block import (
+        fused_window_block,
+        fused_window_block_strips,
+    )
+    from sam2unet_tpu.ops.windowing import window_partition, window_unpartition
+
+    rng = np.random.default_rng(15)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+    b, hh, wd, c, nh, window = 2, 8, 16, 24, 2, 4
+    x, w, bq = mk(b, hh, wd, c), mk(c, 3 * c), mk(3 * c)
+    lns, lnb, wp, bp = mk(c) + 1, mk(c), mk(c, c), mk(c)
+
+    def via_strips(xx):
+        return fused_window_block_strips(
+            xx, w, bq, lns, lnb, wp, bp, num_heads=nh, window=window,
+            residual=True, weight_grads=False).sum()
+
+    def via_partition(xx):
+        xw, pad_hw = window_partition(xx, window)
+        nw_, wh, ww, _ = xw.shape
+        o = fused_window_block(xw.reshape(nw_, wh * ww, c), w, bq, lns,
+                               lnb, wp, bp, num_heads=nh,
+                               residual=True, weight_grads=False)
+        return window_unpartition(o.reshape(nw_, wh, ww, c), window,
+                                  pad_hw, (hh, wd)).sum()
+
+    v1, g1 = jax.value_and_grad(via_strips)(x)
+    v2, g2 = jax.value_and_grad(via_partition)(x)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4)
