@@ -268,6 +268,44 @@ class MultiScaleBlock(nn.Module):
             else:
                 dp = DropPath(self.drop_path, name="drop_path")
                 x = shortcut + dp(y, train)
+        elif (
+            self.q_stride == (2, 2)
+            and window > 0
+            and window % 2 == 0
+            and (window * window) % 16 == 0
+            and h % window == 0
+            and w % window == 0
+            and not train
+        ):
+            # q-pool transition on a divisible grid, EVAL ONLY: one
+            # strip-I/O Pallas program (LN + shortcut Dense/pool + windowed
+            # qkv + in-window q-pool + attention + proj + residual). The
+            # full-resolution qkv/LN tensors — the top HBM writers in the
+            # round-4 byte audit (docs/PERF.md) — never leave VMEM; only
+            # the 4x-smaller pooled output is written: infer +9.7%. Under
+            # train the custom VJP's whole-block XLA recompute re-does
+            # work the unfused forward materializes for the backward to
+            # reuse (measured -1.5%), so training keeps the unfused path
+            # below; remainder grids (hiera_l stage 3->4 at 352) do too.
+            # Both branches register identical param leaves ("norm1"
+            # scale/bias, "proj" kernel/bias), so the train/eval split is
+            # checkpoint-invisible.
+            from sam2unet_tpu.nn.layers import LNParams, _DenseParams
+            from sam2unet_tpu.ops.pallas.fused_transition import (
+                fused_transition_block,
+            )
+
+            ln1 = LNParams(self.dim, name="norm1")
+            short = _DenseParams(self.dim, self.dim_out, name="proj")
+            wargs = (attn.qkv.kernel, attn.qkv.bias, ln1.scale, ln1.bias,
+                     attn.proj.kernel, attn.proj.bias,
+                     short.kernel, short.bias)
+            if self.frozen:
+                wargs = tuple(jax.lax.stop_gradient(t) for t in wargs)
+            x = fused_transition_block(
+                x.astype(self.dtype), *wargs, num_heads=self.num_heads,
+                window=window, weight_grads=not self.frozen,
+            )
         else:
             xn = layer_norm(self.dtype, name="norm1")(x)
             shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(xn)

@@ -550,3 +550,83 @@ def test_strip_block_value_and_grad_through_custom_vjp():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_transition_kernel_forward_interpret():
+    """The fused transition kernel (LN + shortcut Dense/pool + windowed
+    qkv + in-window q-pool + attention + proj + residual, interpret mode)
+    == the XLA reference form, at both Hiera transition geometries
+    (ws=8 stage1->2, ws=4 stage2->3) and both weight layouts."""
+    from unittest import mock
+
+    import sam2unet_tpu.ops.pallas.fused_transition as ft
+
+    rng = np.random.default_rng(17)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+
+    def run(b, hh, wd, cin, cout, nh, window, gs=1):
+        x = mk(b, hh, wd, cin)
+        w, bq = mk(cin, 3 * cout), mk(3 * cout)
+        lns, lnb = mk(cin) + 1, mk(cin)
+        wp, bp = mk(cout, cout), mk(cout)
+        wsh, bsh = mk(cin, cout), mk(cout)
+        with mock.patch.object(ft, "_pick_strips", lambda *a: gs):
+            got = ft._fused_transition_fwd_impl(
+                x, w, bq, lns, lnb, wp, bp, wsh, bsh, nh, window,
+                interpret=True)
+        want = ft._xla_transition(x, w, bq, lns, lnb, wp, bp, wsh, bsh,
+                                  nh, window)
+        assert got.shape == (b, hh // 2, wd // 2, cout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    run(2, 16, 24, 24, 48, 2, 8)           # ws=8 geometry, dim doubles
+    run(2, 16, 24, 24, 48, 2, 8, gs=2)     # multi-strip blocks
+    run(1, 8, 16, 24, 48, 4, 4)            # ws=4 geometry (sq=4)
+    run(1, 16, 16, 32, 64, 8, 8)           # many heads
+    with mock.patch.object(ft, "_resident_bytes", lambda *a: 1 << 30,
+                           create=True):
+        run(2, 16, 24, 24, 48, 2, 8)
+
+
+def test_transition_block_grads_through_custom_vjp():
+    """fused_transition_block's custom VJP (XLA recompute) == plain
+    jax.grad of the reference form, dx-only and full-grads."""
+    import sam2unet_tpu.ops.pallas.fused_transition as ft
+
+    rng = np.random.default_rng(18)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+    b, hh, wd, cin, cout, nh, window = 1, 8, 16, 24, 48, 2, 4
+    x = mk(b, hh, wd, cin)
+    w, bq = mk(cin, 3 * cout), mk(3 * cout)
+    lns, lnb = mk(cin) + 1, mk(cin)
+    wp, bp = mk(cout, cout), mk(cout)
+    wsh, bsh = mk(cin, cout), mk(cout)
+
+    def via_fused(xx, ww):
+        return ft.fused_transition_block(
+            xx, ww, bq, lns, lnb, wp, bp, wsh, bsh, num_heads=nh,
+            window=window, weight_grads=True).sum()
+
+    def via_ref(xx, ww):
+        return ft._xla_transition(xx, ww, bq, lns, lnb, wp, bp, wsh, bsh,
+                                  nh, window).sum()
+
+    (v1, (gx1, gw1)) = jax.value_and_grad(via_fused, argnums=(0, 1))(x, w)
+    (v2, (gx2, gw2)) = jax.value_and_grad(via_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=2e-4, atol=2e-4)
+
+    # dx-only (frozen trunk): same dx, weight cotangent zero
+    def via_frozen(xx):
+        return ft.fused_transition_block(
+            xx, *map(jax.lax.stop_gradient,
+                     (w, bq, lns, lnb, wp, bp, wsh, bsh)),
+            num_heads=nh, window=window, weight_grads=False).sum()
+
+    gx3 = jax.grad(via_frozen)(x)
+    np.testing.assert_allclose(np.asarray(gx3), np.asarray(gx2),
+                               rtol=2e-4, atol=2e-4)
