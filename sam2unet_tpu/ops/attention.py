@@ -49,6 +49,14 @@ def sdpa(
         # both jax.nn.dot_product_attention and the fused Pallas kernel at
         # this model's 72-wide heads (docs/PERF.md "Measured and rejected")
         impl = "einsum"
+        if key_valid is None and k.shape[1] > 1024:
+            # LONG sequences (3600-token global blocks at 960 input, 4096
+            # at 1024) are the exception: XLA materializes the (S, S) f32
+            # score chain to HBM (6.6 GB per block at hiera_s@960 b32, the
+            # top writer in that profile), so the tiled streaming-flash
+            # kernels win there; flash_attention still falls back to the
+            # einsum form when no aligned block divides the lengths.
+            impl = "pallas"
     if key_valid is not None:
         impl = "einsum"  # only the einsum path carries the key mask
     if impl == "pallas":

@@ -214,8 +214,10 @@ def _xla_window_block(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
                       attn_mask=None, pad_logmult=None):
     """Reference XLA form (CPU fallback, VJP recompute, tests)."""
     from sam2unet_tpu.ops.pallas.flash_attention import (
+        _MAX_FULL_SEQ,
         _xla_attention,
         attention_with_padkey,
+        flash_attention,
     )
 
     nw, s, c = x.shape
@@ -240,6 +242,13 @@ def _xla_window_block(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
     elif n_pad:
         b3 = b_qkv.reshape(3, num_heads, d)
         o = attention_with_padkey(q, k, v, b3[1], b3[2], n_pad)
+    elif s > _MAX_FULL_SEQ:
+        # the long global-attention blocks this whole-block kernel rejects
+        # (3600 tokens at 960 input, 4096 at 1024): the tiled streaming-
+        # flash kernels keep the (S, S) f32 score chain out of HBM;
+        # flash_attention self-dispatches back to _xla_attention on CPU /
+        # under force_xla and when no aligned block divides S
+        o = flash_attention(q, k, v)
     else:
         o = _xla_attention(q, k, v)
     o = o.reshape(nw, s, c)

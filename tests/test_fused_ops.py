@@ -1,5 +1,7 @@
 """Fused-kernel ops: CPU fallback numerics + padding-fill equivalence."""
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -630,3 +632,72 @@ def test_transition_block_grads_through_custom_vjp():
     gx3 = jax.grad(via_frozen)(x)
     np.testing.assert_allclose(np.asarray(gx3), np.asarray(gx2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_stream_flash_forward_interpret():
+    """Tiled streaming-flash forward (online softmax over kv blocks,
+    interpret mode) == the XLA einsum reference, incl. multi-block grids
+    and cross-attention lengths."""
+    import sam2unet_tpu.ops.pallas.flash_attention as fa
+
+    rng = np.random.default_rng(21)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.5, jnp.float32)
+
+    def run(b, sq, sk, h, d):
+        q, k, v = mk(b, sq, h, d), mk(b, sk, h, d), mk(b, sk, h, d)
+        scale = 1.0 / math.sqrt(d)
+        blocks = fa._pick_stream_blocks(sq, sk)
+        assert blocks is not None
+        got, lse = fa._stream_fwd_impl(q, k, v, scale, interpret=True)
+        want = fa._xla_attention(q, k, v, scale=scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        # lse == logsumexp of the scaled scores; kernel layout (B*H, Sq, 1)
+        s = np.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        want_lse = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) \
+            + s.max(-1)
+        np.testing.assert_allclose(
+            np.asarray(lse).reshape(b, h, sq), want_lse,
+            rtol=2e-5, atol=2e-5)
+
+    run(1, 960, 960, 1, 32)   # 320-blocks: 3 q x 3 kv grid
+    run(2, 160, 320, 2, 16)   # cross lengths, single kv regime per axis
+    run(1, 48, 1280, 1, 8)    # small q block (16-aligned), long kv
+
+
+def test_stream_flash_backward_interpret():
+    """Streaming backward kernels (dq pass + dkv pass, interpret mode)
+    == jax.vjp of the XLA einsum reference."""
+    import sam2unet_tpu.ops.pallas.flash_attention as fa
+
+    rng = np.random.default_rng(22)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.5, jnp.float32)
+
+    def run(b, sq, sk, h, d):
+        q, k, v = mk(b, sq, h, d), mk(b, sk, h, d), mk(b, sk, h, d)
+        g = mk(b, sq, h, d)
+        scale = 1.0 / math.sqrt(d)
+        o, lse = fa._stream_fwd_impl(q, k, v, scale, interpret=True)
+        dq, dk, dv = fa._stream_bwd_impl(q, k, v, o, lse, g, scale,
+                                         interpret=True)
+        _, vjp = jax.vjp(lambda *a: fa._xla_attention(*a, scale=scale),
+                         q, k, v)
+        eq, ek, ev = vjp(g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(eq),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(ek),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(ev),
+                                   rtol=2e-4, atol=2e-4)
+
+    run(1, 960, 960, 1, 32)
+    run(2, 160, 320, 2, 16)
+
+
+def test_stream_block_picker():
+    import sam2unet_tpu.ops.pallas.flash_attention as fa
+
+    assert fa._pick_stream_blocks(3600, 3600) == (720, 720)  # 960 input
+    assert fa._pick_stream_blocks(4096, 4096) == (512, 512)  # 1024 input
+    assert fa._pick_stream_blocks(3601, 3600) is None        # no divisor
+    assert fa._pick_stream_blocks(100, 3600) is None         # 100 % 16 != 0
