@@ -275,20 +275,23 @@ class MultiScaleBlock(nn.Module):
             and (window * window) % 16 == 0
             and h % window == 0
             and w % window == 0
-            and not train
+            and (not train or (self.frozen and self.drop_path == 0.0))
         ):
-            # q-pool transition on a divisible grid, EVAL ONLY: one
-            # strip-I/O Pallas program (LN + shortcut Dense/pool + windowed
-            # qkv + in-window q-pool + attention + proj + residual). The
-            # full-resolution qkv/LN tensors — the top HBM writers in the
-            # round-4 byte audit (docs/PERF.md) — never leave VMEM; only
-            # the 4x-smaller pooled output is written: infer +9.7%. Under
-            # train the custom VJP's whole-block XLA recompute re-does
-            # work the unfused forward materializes for the backward to
-            # reuse (measured -1.5%), so training keeps the unfused path
-            # below; remainder grids (hiera_l stage 3->4 at 352) do too.
+            # q-pool transition on a divisible grid: one strip-I/O Pallas
+            # program (LN + shortcut Dense/pool + windowed qkv + in-window
+            # q-pool + attention + proj + residual). The full-resolution
+            # qkv/LN tensors — the top HBM writers in the round-4 byte
+            # audit (docs/PERF.md) — never leave VMEM; only the 4x-smaller
+            # pooled output is written: infer +9.7%. Training takes this
+            # path too when the trunk is FROZEN (the fork's only train
+            # config): the dx-only Pallas backward recomputes the chain in
+            # VMEM (fused_transition.py::_transition_bwd_kernel), unlike
+            # the earlier XLA-recompute backward that re-materialized what
+            # the unfused forward would have saved (measured -1.5%, E2).
+            # Unfrozen-trunk or active-DropPath training and remainder
+            # grids (hiera_l stage 3->4 at 352) keep the unfused path.
             # Both branches register identical param leaves ("norm1"
-            # scale/bias, "proj" kernel/bias), so the train/eval split is
+            # scale/bias, "proj" kernel/bias), so the split is
             # checkpoint-invisible.
             from sam2unet_tpu.nn.layers import LNParams, _DenseParams
             from sam2unet_tpu.ops.pallas.fused_transition import (

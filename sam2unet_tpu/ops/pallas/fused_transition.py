@@ -274,6 +274,234 @@ def _fused_transition_fwd_impl(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
     return out.reshape(b, hh // 2, wd // 2, cout)
 
 
+def _pool2x2_first_match(t, g, hs, width, ch):
+    """(g, 2*hs, width, ch) row-pair max + FIRST-MATCH routing masks
+    (mirrors lax.reduce_window's select_and_scatter tie convention).
+    Returns (pooled (g, hs, width, ch), mask0, mask1) with mask_i the
+    indicator that row i of the pair carries the cotangent."""
+    tr = t.reshape(g, hs, 2, width, ch)
+    m = jnp.max(tr, axis=2)
+    # compare in f32: Mosaic has no bf16 cmpf, and bf16->f32 is exact
+    m0 = tr[:, :, 0, :, :].astype(jnp.float32) >= m.astype(jnp.float32)
+    m1 = jnp.logical_not(m0)
+    return m, m0, m1
+
+
+def _transition_bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref,
+                           wsh_ref, bsh_ref, dx_ref, y_buf, gw_buf, mu_buf,
+                           r_buf, acc, *, nh: int, nw: int, ws: int,
+                           scale: float, resident: bool):
+    """dx-only backward of the fused transition block, one strip per grid
+    row, heads on the second grid axis (the frozen-trunk case — SAM2-UNet
+    hard-freezes the Hiera trunk, so transition blocks never need weight
+    grads in training). Recomputes LN/shortcut/qkv/softmax in VMEM from x
+    alone; the only HBM traffic is x, the incoming gradient, the weights,
+    and dx."""
+    h = pl.program_id(1)
+    hw = h if resident else 0
+    x = x_ref[:]                                   # (gs, ws, W, c_in)
+    gs, _, wd, cin = x.shape
+    g = gs * nw
+    s = ws * ws
+    hs = ws // 2
+    sq = hs * hs
+    cout = wsh_ref.shape[-1]
+
+    @pl.when(h == 0)
+    def _():
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        r = jax.lax.rsqrt(var + _LN_EPS)
+        y = (xf - mu) * r * ln_ref[0].astype(jnp.float32) \
+            + ln_ref[1].astype(jnp.float32)
+        yw = y.astype(x.dtype).reshape(gs, ws, nw, ws, cin)
+        yw = yw.transpose(0, 2, 1, 3, 4).reshape(g, s, cin)
+        y_buf[:] = yw
+        muw = mu.reshape(gs, ws, nw, ws, 1).transpose(0, 2, 1, 3, 4)
+        mu_buf[:] = muw.reshape(g, s, 1)
+        rw = r.reshape(gs, ws, nw, ws, 1).transpose(0, 2, 1, 3, 4)
+        r_buf[:] = rw.reshape(g, s, 1)
+        # incoming gradient to window order: (gs, hs, nw*hs, cout) ->
+        # (g, sq, cout)
+        gy = g_ref[:].reshape(gs, hs, nw, hs, cout)
+        gw_buf[:] = gy.transpose(0, 2, 1, 3, 4).reshape(g, sq, cout)
+        # ---- shortcut backward: unpool g through the 2x2 max of the
+        # shortcut Dense, then through the Dense itself ----
+        ysh = jax.lax.dot_general(
+            y_buf[:].reshape(g * s, cin), wsh_ref[:],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + bsh_ref[:].astype(jnp.float32)
+        ysh = ysh.astype(x.dtype).reshape(g, ws, ws, cout)
+        p1, r0, r1 = _pool2x2_first_match(ysh, g, hs, ws, cout)
+        p1r = p1.reshape(g, hs, hs, 2, cout)
+        m2 = jnp.max(p1r, axis=3)                  # (g, hs, hs, cout)
+        c0 = p1r[:, :, :, 0, :].astype(jnp.float32) >= m2.astype(jnp.float32)
+        c1 = jnp.logical_not(c0)
+        gq = gw_buf[:].astype(jnp.float32).reshape(g, hs, hs, cout)
+        # scatter through the column stage then the row stage
+        gc = jnp.stack([gq * c0, gq * c1], axis=3).reshape(g, hs, ws, cout)
+        gr = jnp.stack([gc * r0, gc * r1], axis=2).reshape(g, ws, ws, cout)
+        d_sh = gr.astype(x.dtype).reshape(g * s, cout)
+        acc[:] = jax.lax.dot_general(              # @ wsh^T -> (G*S, c_in)
+            d_sh, wsh_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(g, s, cin)
+
+    # ---- per-head qkv/attention recompute + backward ----
+    y2 = y_buf[:].reshape(g * s, cin)
+    qkv = jax.lax.dot_general(
+        y2, w_ref[hw], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + b_ref[hw].astype(jnp.float32)).astype(x.dtype)
+    d = qkv.shape[-1] // 3
+    q = qkv[:, :d].reshape(g, ws, ws, d)
+    k = qkv[:, d : 2 * d].reshape(g, s, d)
+    v = qkv[:, 2 * d :].reshape(g, s, d)
+    q1, qr0, qr1 = _pool2x2_first_match(q, g, hs, ws, d)
+    q1r = q1.reshape(g, hs, hs, 2, d)
+    qp2 = jnp.max(q1r, axis=3)
+    qc0 = q1r[:, :, :, 0, :].astype(jnp.float32) >= qp2.astype(jnp.float32)
+    qc1 = jnp.logical_not(qc0)
+    qp = qp2.reshape(g, sq, d)
+
+    sc = jax.lax.dot_general(                      # (G, Sq, S) f32
+        qp, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    m = jnp.max(sc, axis=-1, keepdims=True)
+    e = jnp.exp(sc - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    gw = gw_buf[:]                                 # (g, sq, cout)
+    do = jax.lax.dot_general(                      # g @ Wp^T: (G, Sq, d)
+        gw.reshape(g * sq, cout), wp_ref[hw], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(g, sq, d)
+    dp = jax.lax.dot_general(                      # (G, Sq, S)
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    pb = p.astype(x.dtype)
+    dv = jax.lax.dot_general(                      # p^T do: (G, S, d)
+        pb, do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+          * scale).astype(x.dtype)
+    dqp = jax.lax.dot_general(                     # (G, Sq, d)
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = jax.lax.dot_general(                      # ds^T qp: (G, S, d)
+        ds, qp, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # unpool dqp through the q-pool argmax masks (col stage, then rows)
+    dqg = dqp.reshape(g, hs, hs, d)
+    dqc = jnp.stack([dqg * qc0, dqg * qc1], axis=3).reshape(g, hs, ws, d)
+    dq = jnp.stack([dqc * qr0, dqc * qr1], axis=2).reshape(g, s, d)
+
+    w3h = w_ref[hw]
+    dqf = dq.astype(x.dtype).reshape(g * s, d)
+    dkf = dk.astype(x.dtype).reshape(g * s, d)
+    dvf = dv.astype(x.dtype).reshape(g * s, d)
+
+    def dotT(a, wslice):                           # a (N, d) @ w^T (c, d)
+        return jax.lax.dot_general(
+            a, wslice, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dy_h = (dotT(dqf, w3h[:, :d]) + dotT(dkf, w3h[:, d : 2 * d])
+            + dotT(dvf, w3h[:, 2 * d :])).reshape(g, s, cin)
+    acc[:] = acc[:] + dy_h
+
+    @pl.when(h == nh - 1)
+    def _():
+        xw = x.reshape(gs, ws, nw, ws, cin).transpose(0, 2, 1, 3, 4)
+        xf = xw.reshape(g, s, cin).astype(jnp.float32)
+        xhat = (xf - mu_buf[:]) * r_buf[:]
+        dxhat = acc[:] * ln_ref[0].astype(jnp.float32)
+        mean1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mean2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = r_buf[:] * (dxhat - mean1 - xhat * mean2)
+        db = dx.reshape(gs, nw, ws, ws, cin).transpose(0, 2, 1, 3, 4)
+        dx_ref[:] = db.reshape(gs, ws, wd, cin).astype(dx_ref.dtype)
+
+
+def _transition_bwd_impl(x, g, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
+                         w_short, b_short, num_heads, window,
+                         interpret=False):
+    b, hh, wd, cin = x.shape
+    nh = num_heads
+    cout = w_proj.shape[-1]
+    d = cout // nh
+    ws = window
+    n_h, n_w = hh // ws, wd // ws
+    s = ws * ws
+    sq = (ws // 2) * (ws // 2)
+    xr = x.reshape(b * n_h, ws, wd, cin)
+    gr = g.reshape(b * n_h, ws // 2, wd // 2, cout)
+    resident, live_budget = _pick_layout(nh, max(cin, cout), d,
+                                         x.dtype.itemsize)
+    per_strip = n_w * (s * cin * 8 + s * 3 * d * 6 + 2 * s * cout * 6
+                       + sq * cout * 6) + ws * wd * cin * 4
+    gs = _pick_strips(b * n_h, per_strip, live_budget)
+    g_ = gs * n_w
+    w3 = w_qkv.reshape(cin, 3, nh, d).transpose(2, 0, 1, 3).reshape(
+        nh, cin, 3 * d)
+    b3 = b_qkv.reshape(3, nh, d).transpose(1, 0, 2).reshape(nh, 1, 3 * d)
+    wp3 = w_proj.reshape(nh, d, cout)
+    ln = jnp.stack([jnp.asarray(ln_scale, x.dtype),
+                    jnp.asarray(ln_bias, x.dtype)])
+    wspec = _weight_specs(resident, nh)
+    dx = pl.pallas_call(
+        functools.partial(_transition_bwd_kernel, nh=nh, nw=n_w, ws=ws,
+                          scale=1.0 / math.sqrt(d), resident=resident),
+        grid=(b * n_h // gs, nh),
+        in_specs=[
+            pl.BlockSpec((gs, ws, wd, cin), lambda i, h: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs, ws // 2, wd // 2, cout),
+                         lambda i, h: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(cin, 3 * d),
+            wspec(1, 3 * d),
+            pl.BlockSpec((2, cin), lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(d, cout),
+            pl.BlockSpec((cin, cout), lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gs, ws, wd, cin), lambda i, h: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * n_h, ws, wd, cin), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g_, s, cin), x.dtype),       # normed y
+            pltpu.VMEM((g_, sq, cout), x.dtype),     # g in window order
+            pltpu.VMEM((g_, s, 1), jnp.float32),     # LN mu
+            pltpu.VMEM((g_, s, 1), jnp.float32),     # LN rsqrt
+            pltpu.VMEM((g_, s, cin), jnp.float32),   # dxn accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_h * n_w * s * cin * (6 * cout + 2 * cout)
+            + 2 * b * n_h * n_w * nh * sq * s * 4 * d,
+            bytes_accessed=(2 * b * hh * wd * cin
+                            + b * (hh // 2) * (wd // 2) * cout)
+            * x.dtype.itemsize,
+            transcendentals=b * n_h * n_w * nh * sq * s,
+        ),
+        interpret=interpret,
+    )(xr, gr, w3.astype(x.dtype), b3.astype(jnp.float32), ln,
+      wp3.astype(x.dtype), w_short.astype(x.dtype),
+      b_short.reshape(1, -1).astype(jnp.float32))
+    return dx.reshape(b, hh, wd, cin)
+
+
 def _tr_fwd(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj, w_short,
             b_short, num_heads, window, weight_grads=True):
     out = _fused_transition_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias,
@@ -287,18 +515,31 @@ def _tr_bwd(num_heads, window, weight_grads, res, g):
     (x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj, w_short,
      b_short) = res
     if not weight_grads:
-        # frozen trunk (the fork hard-freezes it): differentiate w.r.t. x
-        # only — XLA recomputes the reference form and DCEs the weight-grad
-        # graph; callers pair with stop_gradient so zeros are exact
+        # frozen trunk (the fork hard-freezes it): dx only. Same gate as
+        # the forward: the strip-I/O Pallas backward recomputes
+        # LN/shortcut/qkv/softmax in VMEM from x alone — this is what
+        # makes the fused transition a TRAIN win too (the earlier
+        # XLA-recompute backward re-materialized the full-resolution
+        # qkv/LN tensors the unfused forward would have saved, measured
+        # -1.5%; see docs/PERF.md round 4 E2/E6).
+        s = window * window
+        cout = w_proj.shape[-1]
+        window_live = 8 * s * s + 22 * s * cout
+        zeros = [jnp.zeros_like(t) for t in
+                 (w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
+                  w_short, b_short)]
+        if not (dispatch.xla_only() or window_live > 12 * 1024 * 1024
+                or s % 16):
+            dx = _transition_bwd_impl(x, g, w_qkv, b_qkv, ln_scale,
+                                      ln_bias, w_proj, w_short, b_short,
+                                      num_heads, window)
+            return (dx, *zeros)
         _, vjp = jax.vjp(
             lambda xx: _xla_transition(xx, w_qkv, b_qkv, ln_scale, ln_bias,
                                        w_proj, b_proj, w_short, b_short,
                                        num_heads, window),
             x,
         )
-        zeros = [jnp.zeros_like(t) for t in
-                 (w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
-                  w_short, b_short)]
         return (vjp(g)[0], *zeros)
 
     _, vjp = jax.vjp(

@@ -701,3 +701,38 @@ def test_stream_block_picker():
     assert fa._pick_stream_blocks(4096, 4096) == (512, 512)  # 1024 input
     assert fa._pick_stream_blocks(3601, 3600) is None        # no divisor
     assert fa._pick_stream_blocks(100, 3600) is None         # 100 % 16 != 0
+
+
+def test_transition_bwd_kernel_interpret():
+    """The dx-only Pallas transition backward (LN + shortcut-pool +
+    q-pool + attention unwound in VMEM, interpret mode) == jax.vjp of
+    the XLA reference form, at both transition geometries."""
+    from unittest import mock
+
+    import sam2unet_tpu.ops.pallas.fused_transition as ft
+
+    rng = np.random.default_rng(23)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+
+    def run(b, hh, wd, cin, cout, nh, window, gs=1):
+        x = mk(b, hh, wd, cin)
+        gy = mk(b, hh // 2, wd // 2, cout)
+        w, bq = mk(cin, 3 * cout), mk(3 * cout)
+        lns, lnb = mk(cin) + 1, mk(cin)
+        wp, bp = mk(cout, cout), mk(cout)
+        wsh, bsh = mk(cin, cout), mk(cout)
+        with mock.patch.object(ft, "_pick_strips", lambda *a: gs):
+            got = ft._transition_bwd_impl(x, gy, w, bq, lns, lnb, wp,
+                                          wsh, bsh, nh, window,
+                                          interpret=True)
+        _, vjp = jax.vjp(
+            lambda xx: ft._xla_transition(xx, w, bq, lns, lnb, wp, bp,
+                                          wsh, bsh, nh, window), x)
+        want = vjp(gy)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    run(2, 16, 24, 24, 48, 2, 8)           # ws=8 geometry
+    run(2, 16, 24, 24, 48, 2, 8, gs=2)     # multi-strip blocks
+    run(1, 8, 16, 24, 48, 4, 4)            # ws=4 geometry
+    run(1, 16, 16, 32, 64, 8, 8)           # many heads
