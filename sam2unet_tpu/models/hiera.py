@@ -220,7 +220,30 @@ class MultiScaleBlock(nn.Module):
                          weight_grads=not self.frozen)
             b = x.shape[0]
             xd = x.astype(self.dtype)
-            if window > 0 and (h % window or w % window):
+            from sam2unet_tpu.ops.pallas import dispatch as _dispatch
+            from sam2unet_tpu.ops.pallas.fused_attention_block import (
+                strips_rem_supported,
+            )
+
+            # Remainder/16-unaligned grids (hiera_s@960 stage 3: 60x60 w14;
+            # hiera_l@352 stages 3-4: 22x22 w16, 11x11 w8 — the reference
+            # fork's shipped operating points) take the remainder-strip
+            # kernel when it engages: in-VMEM zero pads + alignment key
+            # mask, no partition/merge HBM copies (docs/PERF.md round 5).
+            # Unfrozen training keeps the valid-group path (the rem kernel
+            # is dx-only); so do geometries past the VMEM gate.
+            rem_grid = window > 0 and (
+                h % window or w % window or (window * window) % 16)
+            use_rem_strips = (
+                rem_grid
+                and not _dispatch.xla_only()
+                and (not train or self.frozen)
+                and strips_rem_supported(h, w, window, xd.shape[-1],
+                                         self.num_heads,
+                                         xd.dtype.itemsize,
+                                         bwd=train))
+            if rem_grid and not use_rem_strips and (h % window
+                                                    or w % window):
                 # NOTE: a whole-grid masked single call (block-diagonal
                 # window mask + per-query pad-key multiplicity, supported by
                 # the kernel via attn_mask/pad_logmult) measured SLOWER than
@@ -239,7 +262,9 @@ class MultiScaleBlock(nn.Module):
                                            *wargs, n_pad=n_pad, **kargs)
                     outs.append(o.reshape(nw_, gh, gw, c))
                 y = window_merge_valid(outs, b, h, w, window)
-            elif window > 0 and (window * window) % 16 == 0:
+            elif use_rem_strips or (window > 0 and h % window == 0
+                                    and w % window == 0
+                                    and (window * window) % 16 == 0):
                 # divisible grid, 16-aligned token count: strip-I/O kernel —
                 # the window partition/merge happens IN VMEM (5-D transpose
                 # at the first/last head step), so the two full-activation

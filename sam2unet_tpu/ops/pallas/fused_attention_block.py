@@ -701,6 +701,11 @@ def _fused_window_block_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
             pltpu.VMEM((g, s, 1), f32),            # rsqrt(var)
             pltpu.VMEM((g, s, c), f32),            # dy accumulator
         ],
+        # gy is dead after this call (the cotangent's only consumer) and
+        # shares dx's block spec: donate its HBM buffer so XLA drops the
+        # separate dx allocation + the copy pair around the custom call
+        # (grad-path bytes, docs/PERF.md round 5).
+        input_output_aliases={1: 0},
         interpret=interpret,
     )(x, gy, w3.astype(x.dtype), b3.astype(f32), ln, wp3.astype(x.dtype),
       b_qkv.reshape(3, nh, d)[1:].transpose(1, 0, 2).astype(f32),
@@ -954,11 +959,14 @@ def fused_window_block_strips(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
                               b_proj, num_heads: int, window: int,
                               residual: bool = True,
                               weight_grads: bool = True):
-    """x: (B, H, W, c) with H % window == 0 == W % window -> same shape.
+    """x: (B, H, W, c), any grid -> same shape.
 
     Equivalent to window_partition -> fused_window_block -> unpartition,
-    but the partition/merge never touches HBM (docs/PERF.md round 4)."""
-    assert x.shape[1] % window == 0 and x.shape[2] % window == 0
+    but the partition/merge never touches HBM (docs/PERF.md round 4).
+    Divisible 16-aligned grids take the original strip kernel; remainder
+    or 16-unaligned geometries take the remainder-strip kernel (in-VMEM
+    zero pads + alignment key mask — docs/PERF.md round 5); anything the
+    gates reject falls back to the exact XLA padded-window form."""
     return _fused_strips_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
                              b_proj, num_heads, window, residual,
                              weight_grads)
@@ -972,17 +980,21 @@ def _fused_strips_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
     d = c // num_heads
     s_pad16 = s + (-s) % 16
     window_live = 8 * s_pad16 * s_pad16 + 14 * s_pad16 * c
-    if (dispatch.xla_only() or window_live > 12 * 1024 * 1024
-            or s % 16):
-        # s % 16 != 0 would need the row-pad machinery of the partitioned
-        # form; every Hiera window (8/4/16/7/14 -> s 64/16/256/49/196...)
-        # that reaches here is 16-aligned except 7x7=49 — route those to
-        # the partitioned path at the call site.
-        return _xla_strips(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
-                           b_proj, num_heads, window, residual)
-    return _fused_strips_fwd_impl(x, w_qkv, b_qkv, ln_scale, ln_bias,
-                                  w_proj, b_proj, num_heads, window,
-                                  residual)
+    divisible = hh % window == 0 and wd % window == 0
+    if not dispatch.xla_only():
+        if (divisible and s % 16 == 0
+                and window_live <= 12 * 1024 * 1024):
+            return _fused_strips_fwd_impl(x, w_qkv, b_qkv, ln_scale,
+                                          ln_bias, w_proj, b_proj,
+                                          num_heads, window, residual)
+        if strips_rem_supported(hh, wd, window, c, num_heads,
+                                x.dtype.itemsize):
+            return _fused_strips_rem_fwd_impl(x, w_qkv, b_qkv, ln_scale,
+                                              ln_bias, w_proj, b_proj,
+                                              num_heads, window, residual)
+    xla_form = _xla_strips if divisible else _xla_strips_rem
+    return xla_form(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
+                    b_proj, num_heads, window, residual)
 
 
 def _fused_strips_fwd_impl(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
@@ -1093,9 +1105,549 @@ def _fused_strips_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
             pltpu.VMEM((gs, ws, wd, 1), f32),      # rsqrt(var)
             pltpu.VMEM((g, s, c), f32),            # dy accumulator
         ],
+        input_output_aliases={1: 0},               # donate gy -> dx
         interpret=interpret,
     )(xr, gr, w3.astype(x.dtype), b3.astype(f32), ln, wp3.astype(x.dtype))
     return dx.reshape(b, hh, wd, c)
+
+
+# --------------------------------------------------------------------------
+# Remainder-geometry strip variant: grids where H % ws != 0, W % ws != 0, or
+# ws*ws % 16 != 0 — the geometries the divisible strip kernel rejects.
+#
+# This is the reference fork's shipped operating point (hiera_s@960 stage 3
+# runs a 60x60 grid with window 14; /root/reference/train.py:203-204 +
+# SAM2UNet.py:131) and also the headline config's stages 3-4 (hiera_l@352:
+# 22x22 w16, 11x11 w8), which round 4 left on the partitioned valid-group
+# path — whose partition/merge slice copies are the largest remaining
+# write category in the byte audit (docs/PERF.md round 4, layout-copy +
+# slice/concat rows).
+#
+# Mechanics: x stays (B, H, W, c) in HBM; blocks are (gb, ws, wg*ws, c)
+# edge-overrunning tiles on a cdiv grid (Pallas masks OOB stores; OOB
+# loads are garbage and get zeroed in-kernel). Inside VMEM:
+#   - LN, then zero all tokens past the true (H, W) bounds. The reference
+#     zero-pads AFTER norm1 (hieradet.py window_partition of the normed x),
+#     so post-LN zeros ARE the reference pad tokens — they project to the
+#     qkv bias and participate as keys exactly like the padded path. No
+#     synthetic-key algebra needed; numerics are exact by construction.
+#   - window split + pad each window to (hp, wp) with hp*wp % 16 == 0 (the
+#     Mosaic (G*S)->(G,S) relayout needs 16-aligned S). These ALIGNMENT
+#     pads are additively masked out of the keys (-1e30, a static constant
+#     row) — unlike the reference pads, they must not enter the softmax.
+#   - dense per-head attention, proj, head accumulation — same layout as
+#     the divisible strip kernel — then inverse transpose, crop to (ws,
+#     valid W), residual, store (OOB rows/cols masked off by Pallas).
+# --------------------------------------------------------------------------
+
+
+def _xla_strips_rem(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
+                    num_heads, window, residual):
+    """Exact XLA reference for REMAINDER grids (CPU fallback, VJP
+    recompute, tests): valid-window groups + synthetic pad key. NOTE
+    _xla_strips is NOT usable here — it partitions the RAW x, so its pad
+    tokens go through the in-block LN and become ln_bias-valued, whereas
+    the torch reference pads AFTER norm1 (hieradet.py:140-143): pad
+    tokens are zero in normed space and project to the qkv bias. The
+    valid-group pad-key algebra encodes exactly that."""
+    from sam2unet_tpu.ops.windowing import (
+        window_merge_valid,
+        window_partition_valid,
+    )
+
+    b, hh, wd, c = x.shape
+    outs = []
+    for g, n_pad in window_partition_valid(x, window):
+        nw_, gh, gw, _ = g.shape
+        o = _xla_window_block(g.reshape(nw_, gh * gw, c), w_qkv, b_qkv,
+                              ln_scale, ln_bias, w_proj, b_proj,
+                              num_heads, n_pad, residual)
+        outs.append(o.reshape(nw_, gh, gw, c))
+    return window_merge_valid(outs, b, hh, wd, window)
+
+
+def _win_pad_dims(ws: int) -> tuple[int, int]:
+    """Smallest (hp, wp) >= (ws, ws) with hp*wp % 16 == 0, minimizing the
+    padded token count (ties: smaller hp+wp, then smaller hp). ws=14 ->
+    (14, 16) [224 tokens], ws=7 -> (8, 8) [64], ws=16 -> (16, 16)."""
+    best = None
+    for hp in range(ws, ws + 16):
+        for wp in range(ws, ws + 16):
+            if (hp * wp) % 16:
+                continue
+            key = (hp * wp, hp + wp, hp)
+            if best is None or key < best[0]:
+                best = (key, (hp, wp))
+    return best[1]
+
+
+def _rem_key_mask(n_w: int, ws: int, hp: int, wp: int) -> "np.ndarray":
+    """Static additive key mask (1, hp*wp) for the alignment pads: 0 where
+    the token's within-window (row, col) < ws, else -1e30. The reference's
+    own zero pads (beyond the true H/W) are NOT masked — they are real
+    keys, zeroed post-LN in the kernel."""
+    import numpy as np
+
+    t = np.arange(hp * wp)
+    ok = ((t // wp) < ws) & ((t % wp) < ws)
+    return np.where(ok, 0.0, -1e30).astype(np.float32)[None]
+
+
+def _rem_window_order(y, gb, ws, wg, hp, wp, c):
+    """(gb, ws, W, c) VMEM value (W <= wg*ws: the block spans the FULL
+    array width — the only always-legal Mosaic block geometry when wd is
+    not 8-aligned) -> (gb*wg, hp*wp, c) window order. Zero-pads the strip
+    width to wg*ws (those are the reference's own post-LN zero pads: real
+    attention keys) and each window to the aligned (hp, wp) shape (masked
+    off the keys via the static alignment mask)."""
+    w_full = wg * ws
+    if w_full > y.shape[2]:
+        y = jnp.concatenate(
+            [y, jnp.zeros((gb, ws, w_full - y.shape[2], c), y.dtype)],
+            axis=2)
+    yw = y.reshape(gb, ws, wg, ws, c)
+    if wp > ws:
+        yw = jnp.concatenate(
+            [yw, jnp.zeros((gb, ws, wg, wp - ws, c), yw.dtype)], axis=3)
+    if hp > ws:
+        yw = jnp.concatenate(
+            [yw, jnp.zeros((gb, hp - ws, wg, wp, c), yw.dtype)], axis=1)
+    return yw.transpose(0, 2, 1, 3, 4).reshape(gb * wg, hp * wp, c)
+
+
+def _rem_strip_order(o, gb, ws, wg, hp, wp, c, wd):
+    """Inverse of _rem_window_order: (gb*wg, hp*wp, c) -> (gb, ws, wd, c),
+    cropping the alignment pads and the strip-width pads."""
+    o5 = o.reshape(gb, wg, hp, wp, c)[:, :, :ws, :ws, :]
+    out = o5.transpose(0, 2, 1, 3, 4).reshape(gb, ws, wg * ws, c)
+    return out[:, :, :wd, :]
+
+
+def _rem_valid_mask(vh, vw, ws: int, wcols: int):
+    """(1, ws, wcols, 1) bool: token within the true (H, W) bounds. vh/vw
+    are traced per-block scalars (edge strips overrun the array). Built
+    directly in 4-D: Mosaic cannot reshape i1 vectors to insert minor
+    dims (only 32-bit types), so the broadcast shape comes from the
+    iotas, not from [None, ..., None] on a 2-D mask."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, ws, wcols, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ws, wcols, 1), 2)
+    return (row < vh) & (col < vw)
+
+
+def _strip_rem_kernel(x_ref, w_ref, b_ref, ln_ref, wp_ref, bp_ref, km_ref,
+                      o_ref, y_buf, acc,
+                      *, nh: int, ws: int, wg: int, hp: int, wp_: int,
+                      hh: int, scale: float, residual: bool,
+                      resident: bool):
+    i = pl.program_id(1)
+    h = pl.program_id(2)
+    hw = h if resident else 0
+    x = x_ref[:]                                   # (gb, ws, wd, c)
+    gb, _, wcols, c = x.shape                      # wcols == wd (full width)
+    g = gb * wg
+    s = hp * wp_
+    vh = jnp.minimum(ws, hh - i * ws)              # valid rows this strip
+    vw = wcols                                     # full-width block
+
+    @pl.when(h == 0)
+    def _():
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+        y = y * ln_ref[0].astype(jnp.float32) + ln_ref[1].astype(jnp.float32)
+        # zero everything past the true bounds: kills the OOB-load garbage
+        # AND materializes the reference's post-LN zero pads in one select
+        ok = _rem_valid_mask(vh, vw, ws, wcols)
+        y = jnp.where(ok, y, 0.0).astype(x.dtype)
+        y_buf[:] = _rem_window_order(y, gb, ws, wg, hp, wp_, c)
+
+    y2 = y_buf[:].reshape(g * s, c)
+    qkv = jax.lax.dot_general(                     # (G*S, 3d) fp32
+        y2, w_ref[hw], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + b_ref[hw].astype(jnp.float32)).astype(x.dtype)
+    d = qkv.shape[-1] // 3
+    q = qkv[:, :d].reshape(g, s, d)
+    k = qkv[:, d : 2 * d].reshape(g, s, d)
+    v = qkv[:, 2 * d :].reshape(g, s, d)
+
+    sc = jax.lax.dot_general(                      # (G, S, S) fp32
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    sc = sc + km_ref[:][None]                      # alignment pads off keys
+    m = jnp.max(sc, axis=-1)
+    e = jnp.exp(sc - m[..., None])
+    den = jnp.sum(e, axis=-1)
+    p = (e / den[..., None]).astype(x.dtype)
+    o = jax.lax.dot_general(                       # (G, S, d) fp32
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    out_h = jax.lax.dot_general(                   # (G*S, c) fp32
+        o.astype(x.dtype).reshape(g * s, d), wp_ref[hw],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(g, s, c)
+
+    @pl.when(h == 0)
+    def _():
+        acc[:] = out_h
+
+    @pl.when(h > 0)
+    def _():
+        acc[:] = acc[:] + out_h
+
+    @pl.when(h == nh - 1)
+    def _():
+        out = acc[:] + bp_ref[:].astype(jnp.float32)
+        ob = _rem_strip_order(out, gb, ws, wg, hp, wp_, c, wcols)
+        if residual:
+            ob = ob + x.astype(jnp.float32)        # OOB garbage rows
+        o_ref[:] = ob.astype(o_ref.dtype)          # are masked off the store
+
+
+def _strip_rem_bwd_kernel(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref,
+                          km_ref, dx_ref,
+                          y_buf, gy_buf, mu_buf, r_buf, dy_acc,
+                          *, nh: int, ws: int, wg: int, hp: int, wp_: int,
+                          hh: int, scale: float, residual: bool,
+                          resident: bool):
+    """dx-only backward (frozen trunk) for the remainder geometry: same
+    recompute-in-VMEM structure as _strip_bwd_kernel plus the pad/crop
+    machinery. Cotangents of the pad tokens (reference zeros AND alignment
+    pads) are computed and then cropped — exactly the vjp of the padded
+    reference form, whose pad slots are x-independent."""
+    i = pl.program_id(1)
+    h = pl.program_id(2)
+    hw = h if resident else 0
+    x = x_ref[:]                                   # (gb, ws, wd, c)
+    gy = g_ref[:]
+    gb, _, wcols, c = x.shape                      # wcols == wd (full width)
+    g = gb * wg
+    s = hp * wp_
+    vh = jnp.minimum(ws, hh - i * ws)
+    vw = wcols                                     # full-width block
+
+    @pl.when(h == 0)
+    def _():
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        r = jax.lax.rsqrt(var + _LN_EPS)
+        y = (xf - mu) * r
+        y = y * ln_ref[0].astype(jnp.float32) + ln_ref[1].astype(jnp.float32)
+        ok = _rem_valid_mask(vh, vw, ws, wcols)
+        y = jnp.where(ok, y, 0.0).astype(x.dtype)
+        y_buf[:] = _rem_window_order(y, gb, ws, wg, hp, wp_, c)
+        gz = jnp.where(ok, gy.astype(jnp.float32), 0.0).astype(x.dtype)
+        gy_buf[:] = _rem_window_order(gz, gb, ws, wg, hp, wp_, c)
+        mu_buf[:] = mu
+        r_buf[:] = r
+
+    # ---- forward recompute for this head (window order) ----
+    w3h = w_ref[hw]
+    y2 = y_buf[:].reshape(g * s, c)
+    qkv = jax.lax.dot_general(
+        y2, w3h, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + b_ref[hw].astype(jnp.float32)).astype(x.dtype)
+    d = qkv.shape[-1] // 3
+    q = qkv[:, :d].reshape(g, s, d)
+    k = qkv[:, d : 2 * d].reshape(g, s, d)
+    v = qkv[:, 2 * d :].reshape(g, s, d)
+    sc = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    sc = sc + km_ref[:][None]
+    m = jnp.max(sc, axis=-1, keepdims=True)
+    e = jnp.exp(sc - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    # ---- backward (window order) ----
+    g2 = gy_buf[:].reshape(g * s, c)
+    do = jax.lax.dot_general(
+        g2, wp_ref[hw], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(g, s, d)
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale).astype(
+        x.dtype
+    )
+    dq = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dv = jax.lax.dot_general(
+        p.astype(x.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dqf = dq.astype(x.dtype).reshape(g * s, d)
+    dkf = dk.astype(x.dtype).reshape(g * s, d)
+    dvf = dv.astype(x.dtype).reshape(g * s, d)
+    wq = w3h[:, :d]
+    wk = w3h[:, d : 2 * d]
+    wv = w3h[:, 2 * d :]
+
+    def dotT(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dy_h = (dotT(dqf, wq) + dotT(dkf, wk) + dotT(dvf, wv)).reshape(g, s, c)
+
+    @pl.when(h == 0)
+    def _():
+        dy_acc[:] = dy_h
+
+    @pl.when(h > 0)
+    def _():
+        dy_acc[:] = dy_acc[:] + dy_h
+
+    @pl.when(h == nh - 1)
+    def _():
+        dy = _rem_strip_order(dy_acc[:], gb, ws, wg, hp, wp_, c, wcols)
+        # pad-token cotangents are cropped above; the surviving ones feed
+        # the LN backward only where the token is real (pads were zeroed
+        # post-LN, so d(pad)/dx == 0 — enforce it before the LN chain)
+        ok = _rem_valid_mask(vh, vw, ws, wcols)
+        dy = jnp.where(ok, dy, 0.0)
+        xf = x.astype(jnp.float32)
+        r = r_buf[:]
+        xhat = (xf - mu_buf[:]) * r
+        dxhat = dy * ln_ref[0].astype(jnp.float32)
+        mean1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mean2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = r * (dxhat - mean1 - xhat * mean2)
+        if residual:
+            dx = dx + gy.astype(jnp.float32)
+        dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+_REM_VMEM_CAP = 13 * 1024 * 1024
+
+
+def _rem_vmem_est(gb: int, n_w: int, s: int, c: int, d: int, ws: int,
+                  wd: int, itemsize: int, wbytes: int, bwd: bool) -> int:
+    """Live-VMEM estimate for one rem-strip grid step: the block spans the
+    FULL width (the only always-legal Mosaic geometry for non-8-aligned
+    wd), so every window of the strip is live at once — no wg tiling
+    freedom. Terms: persistent scratch, per-head matmul/softmax
+    transients, double-buffered IO blocks, weight stacks."""
+    g = gb * n_w
+    est = g * s * c * (itemsize + 4)               # y_buf + acc/dy_acc
+    est += g * s * 3 * d * (4 + itemsize)          # qkv f32 + bf16 cast
+    est += g * s * s * (8 + itemsize)              # scores f32 x2 + p
+    est += g * s * c * 4                           # out_h / dy_h
+    n_io = 3 if bwd else 2
+    est += 2 * n_io * gb * ws * wd * c * itemsize  # double-buffered blocks
+    est += wbytes
+    if bwd:
+        est += g * s * c * itemsize                # gy_buf
+        est += g * s * s * 4                       # dp
+        est += 3 * g * s * d * (4 + itemsize)      # dq/dk/dv + casts
+        est += 2 * gb * ws * _rup(wd, 128) * 4     # mu/r (lane-padded)
+    return est
+
+
+def _rem_weight_bytes(nh: int, c: int, d: int, itemsize: int,
+                      resident: bool) -> int:
+    if resident:
+        return _resident_bytes(nh, c, d, itemsize)
+    return 2 * (c * 3 * d + d * c) * itemsize      # one head, double-buf
+
+
+def _pick_rem_gb(b: int, n_w: int, s_tok: int, c: int, d: int, ws: int,
+                 wd: int, itemsize: int, nh: int, resident: bool,
+                 bwd: bool = False) -> int:
+    """Largest divisor of b whose full-width strip block fits the cap."""
+    wb = _rem_weight_bytes(nh, c, d, itemsize, resident)
+    gb = max(1, b)
+    while gb > 1 and (b % gb or _rem_vmem_est(gb, n_w, s_tok, c, d, ws, wd,
+                                              itemsize, wb, bwd)
+                      > _REM_VMEM_CAP):
+        gb -= 1
+    return gb
+
+
+def strips_rem_supported(hh: int, wd: int, window: int, c: int,
+                         num_heads: int, itemsize: int = 2,
+                         bwd: bool = False) -> bool:
+    """Whether the remainder-strip kernel engages for this geometry: the
+    minimal (gb=1) full-width strip block must fit the VMEM cap."""
+    if window <= 0:
+        return False
+    hp, wp = _win_pad_dims(window)
+    s_tok = hp * wp
+    d = c // num_heads
+    n_w = -(-wd // window)
+    resident, _ = _pick_layout(num_heads, c, d, itemsize)
+    wb = _rem_weight_bytes(num_heads, c, d, itemsize, resident)
+    return _rem_vmem_est(1, n_w, s_tok, c, d, window, wd, itemsize, wb,
+                         bwd) <= _REM_VMEM_CAP
+
+
+def _fused_strips_rem_fwd_impl(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
+                               b_proj, num_heads, window, residual,
+                               interpret=False):
+    b, hh, wd, c = x.shape
+    nh_heads = num_heads
+    d = c // nh_heads
+    ws = window
+    hp, wp = _win_pad_dims(ws)
+    s_tok = hp * wp
+    n_h = -(-hh // ws)
+    n_w = -(-wd // ws)
+    resident, _ = _pick_layout(nh_heads, c, d, x.dtype.itemsize)
+    wg = n_w                                       # full-width strips
+    gb = _pick_rem_gb(b, n_w, s_tok, c, d, ws, wd, x.dtype.itemsize,
+                      nh_heads, resident)
+    w3 = w_qkv.reshape(c, 3, nh_heads, d).transpose(2, 0, 1, 3).reshape(
+        nh_heads, c, 3 * d)
+    b3 = b_qkv.reshape(3, nh_heads, d).transpose(1, 0, 2).reshape(
+        nh_heads, 1, 3 * d)
+    wp3 = w_proj.reshape(nh_heads, d, c)
+    ln = jnp.stack([jnp.asarray(ln_scale, x.dtype),
+                    jnp.asarray(ln_bias, x.dtype)])
+    km = jnp.asarray(_rem_key_mask(n_w, ws, hp, wp))
+
+    def wspec(*dims):
+        if resident:
+            return pl.BlockSpec((nh_heads, *dims),
+                                lambda ib, i, h: (0,) * (len(dims) + 1),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, *dims),
+                            lambda ib, i, h: (h,) + (0,) * len(dims),
+                            memory_space=pltpu.VMEM)
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda ib, i, h: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    # full-width block: dim 2 == wd is always Mosaic-legal (the 8-aligned
+    # wg*ws tilings are NOT when wd itself is unaligned — the width pad to
+    # wg*ws happens in VMEM instead)
+    xspec = pl.BlockSpec((gb, ws, wd, c),
+                         lambda ib, i, h: (ib, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    g = gb * wg
+    out = pl.pallas_call(
+        functools.partial(_strip_rem_kernel, nh=nh_heads, ws=ws, wg=wg,
+                          hp=hp, wp_=wp, hh=hh,
+                          scale=1.0 / math.sqrt(d), residual=residual,
+                          resident=resident),
+        grid=(b // gb, n_h, nh_heads),
+        in_specs=[
+            xspec,
+            wspec(c, 3 * d),
+            wspec(1, 3 * d),
+            cspec((2, c)),
+            wspec(d, c),
+            cspec((1, c)),
+            cspec(km.shape),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g, s_tok, c), x.dtype),    # normed, window order
+            pltpu.VMEM((g, s_tok, c), jnp.float32),  # proj accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (b * n_h * n_w) * s_tok
+            * (c * 4 * c + nh_heads * s_tok * 2 * d),
+            bytes_accessed=2 * b * hh * wd * c * x.dtype.itemsize,
+            transcendentals=b * n_h * n_w * nh_heads * s_tok * s_tok,
+        ),
+        interpret=interpret,
+    )(x, w3.astype(x.dtype), b3.astype(jnp.float32), ln,
+      wp3.astype(x.dtype), b_proj.reshape(1, -1).astype(jnp.float32), km)
+    return out
+
+
+def _fused_strips_rem_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
+                               w_proj, num_heads, window, residual,
+                               interpret=False):
+    """dx-only Pallas backward for the remainder geometry (frozen trunk)."""
+    b, hh, wd, c = x.shape
+    nh_heads = num_heads
+    d = c // nh_heads
+    ws = window
+    hp, wp = _win_pad_dims(ws)
+    s_tok = hp * wp
+    n_h = -(-hh // ws)
+    n_w = -(-wd // ws)
+    resident, _ = _pick_layout(nh_heads, c, d, x.dtype.itemsize)
+    wg = n_w                                       # full-width strips
+    gb = _pick_rem_gb(b, n_w, s_tok, c, d, ws, wd, x.dtype.itemsize,
+                      nh_heads, resident, bwd=True)
+    w3 = w_qkv.reshape(c, 3, nh_heads, d).transpose(2, 0, 1, 3).reshape(
+        nh_heads, c, 3 * d)
+    b3 = b_qkv.reshape(3, nh_heads, d).transpose(1, 0, 2).reshape(
+        nh_heads, 1, 3 * d)
+    wp3 = w_proj.reshape(nh_heads, d, c)
+    ln = jnp.stack([jnp.asarray(ln_scale, x.dtype),
+                    jnp.asarray(ln_bias, x.dtype)])
+    km = jnp.asarray(_rem_key_mask(n_w, ws, hp, wp))
+    f32 = jnp.float32
+
+    def wspec(*dims):
+        if resident:
+            return pl.BlockSpec((nh_heads, *dims),
+                                lambda ib, i, h: (0,) * (len(dims) + 1),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, *dims),
+                            lambda ib, i, h: (h,) + (0,) * len(dims),
+                            memory_space=pltpu.VMEM)
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda ib, i, h: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    xspec = pl.BlockSpec((gb, ws, wd, c),
+                         lambda ib, i, h: (ib, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    g = gb * wg
+    dx = pl.pallas_call(
+        functools.partial(_strip_rem_bwd_kernel, nh=nh_heads, ws=ws, wg=wg,
+                          hp=hp, wp_=wp, hh=hh,
+                          scale=1.0 / math.sqrt(d), residual=residual,
+                          resident=resident),
+        grid=(b // gb, n_h, nh_heads),
+        in_specs=[
+            xspec,
+            xspec,
+            wspec(c, 3 * d),
+            wspec(1, 3 * d),
+            cspec((2, c)),
+            wspec(d, c),
+            cspec(km.shape),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g, s_tok, c), x.dtype),    # y (window order)
+            pltpu.VMEM((g, s_tok, c), x.dtype),    # gy (window order)
+            pltpu.VMEM((gb, ws, wd, 1), f32),      # mu (strip order)
+            pltpu.VMEM((gb, ws, wd, 1), f32),      # rsqrt(var)
+            pltpu.VMEM((g, s_tok, c), f32),        # dy accumulator
+        ],
+        input_output_aliases={1: 0},               # donate gy -> dx
+        interpret=interpret,
+    )(x, gy, w3.astype(x.dtype), b3.astype(f32), ln, wp3.astype(x.dtype),
+      km)
+    return dx
 
 
 def _strips_fwd(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
@@ -1108,22 +1660,34 @@ def _strips_fwd(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
 
 def _strips_bwd(num_heads, window, residual, weight_grads, res, g):
     x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj = res
-    c = x.shape[-1]
+    hh, wd, c = x.shape[1], x.shape[2], x.shape[-1]
     s = window * window
     s_pad16 = s + (-s) % 16
     window_live = 12 * s_pad16 * s_pad16 + 18 * s_pad16 * c
-    if (not weight_grads and s % 16 == 0
-            and window_live <= 8 * 1024 * 1024
-            and not dispatch.xla_only()):
-        dx = _fused_strips_bwd_impl(x, g, w_qkv, b_qkv, ln_scale, ln_bias,
-                                    w_proj, num_heads, window, residual)
-        zeros = [jnp.zeros_like(t) for t in
-                 (w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj)]
-        return (dx, *zeros)
+    divisible = hh % window == 0 and wd % window == 0
+    if not weight_grads and not dispatch.xla_only():
+        if (divisible and s % 16 == 0
+                and window_live <= 8 * 1024 * 1024):
+            dx = _fused_strips_bwd_impl(x, g, w_qkv, b_qkv, ln_scale,
+                                        ln_bias, w_proj, num_heads, window,
+                                        residual)
+            zeros = [jnp.zeros_like(t) for t in
+                     (w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj)]
+            return (dx, *zeros)
+        if strips_rem_supported(hh, wd, window, c, num_heads,
+                                x.dtype.itemsize, bwd=True):
+            dx = _fused_strips_rem_bwd_impl(x, g, w_qkv, b_qkv, ln_scale,
+                                            ln_bias, w_proj, num_heads,
+                                            window, residual)
+            zeros = [jnp.zeros_like(t) for t in
+                     (w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj)]
+            return (dx, *zeros)
+
+    xla_form = _xla_strips if divisible else _xla_strips_rem
 
     def ref(xx, ww, bb, ls, lb, wp, bp):
-        return _xla_strips(xx, ww, bb, ls, lb, wp, bp, num_heads, window,
-                           residual)
+        return xla_form(xx, ww, bb, ls, lb, wp, bp, num_heads, window,
+                        residual)
 
     _, vjp = jax.vjp(ref, x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj)
     return vjp(g)

@@ -554,6 +554,129 @@ def test_strip_block_value_and_grad_through_custom_vjp():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_rem_strip_kernel_forward_interpret():
+    """The remainder-geometry strip forward kernel (in-VMEM zero pads +
+    alignment key mask, interpret mode) == the padded-window XLA reference
+    on non-divisible and 16-unaligned grids — incl. the reference fork's
+    shipped geometries (60x60/w14 scaled down, 22x22/w16, 30x30/w7)."""
+    from unittest import mock
+
+    import sam2unet_tpu.ops.pallas.fused_attention_block as fab
+
+    rng = np.random.default_rng(23)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+
+    def run(b, hh, wd, c, nh, window, gb=None, residual=True):
+        x, w, bq = mk(b, hh, wd, c), mk(c, 3 * c), mk(3 * c)
+        lns, lnb, wp, bp = mk(c) + 1, mk(c), mk(c, c), mk(c)
+        ctx = (mock.patch.object(fab, "_pick_rem_gb", lambda *a, **k: gb)
+               if gb else mock.patch.object(fab, "_LN_EPS", fab._LN_EPS))
+        with ctx:
+            got = fab._fused_strips_rem_fwd_impl(
+                x, w, bq, lns, lnb, wp, bp, nh, window, residual,
+                interpret=True)
+        # NOT _xla_strips: that form pads the RAW x (pads become ln_bias
+        # after the in-block LN); the torch reference pads post-norm1, so
+        # the exact oracle is the valid-group synthetic-pad-key form
+        want = fab._xla_strips_rem(x, w, bq, lns, lnb, wp, bp, nh, window,
+                                   residual)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    run(1, 22, 22, 24, 2, 16)              # hiera_l@352 stage-3 geometry
+    run(1, 30, 30, 32, 4, 7)               # stage-4 geometry ((8,8) pads)
+    run(2, 32, 32, 24, 2, 14)              # w14 (s=196 -> (14,16)=224)
+    run(1, 28, 28, 24, 2, 14)              # divisible but 16-unaligned
+    run(2, 12, 12, 24, 2, 5, residual=False)
+    run(2, 12, 18, 24, 2, 5, gb=2)         # multi-batch strips per block
+    with mock.patch.object(fab, "_resident_bytes", lambda *a: 1 << 30):
+        run(1, 22, 22, 24, 2, 16)          # revolving weight layout
+
+
+def test_rem_strip_kernel_backward_interpret():
+    """The remainder-geometry dx-only backward kernel (interpret mode) ==
+    jax.vjp of the padded-window XLA reference."""
+    import sam2unet_tpu.ops.pallas.fused_attention_block as fab
+
+    rng = np.random.default_rng(24)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+
+    def run(b, hh, wd, c, nh, window, residual=True):
+        x, w, bq = mk(b, hh, wd, c), mk(c, 3 * c), mk(3 * c)
+        lns, lnb, wp, bp = mk(c) + 1, mk(c), mk(c, c), mk(c)
+        g = mk(b, hh, wd, c)
+        got = fab._fused_strips_rem_bwd_impl(x, g, w, bq, lns, lnb, wp, nh,
+                                             window, residual,
+                                             interpret=True)
+        want = jax.vjp(
+            lambda xx: fab._xla_strips_rem(xx, w, bq, lns, lnb, wp, bp, nh,
+                                           window, residual),
+            x,
+        )[1](g)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    run(1, 22, 22, 24, 2, 16)
+    run(1, 30, 30, 32, 4, 7)
+    run(2, 32, 32, 24, 2, 14)
+    run(2, 12, 18, 24, 2, 5, residual=False)
+
+
+def test_rem_strip_through_custom_vjp_matches_valid_groups():
+    """fused_window_block_strips on a remainder grid through the public
+    custom_vjp (CPU XLA dispatch) == the valid-group partitioned path
+    hiera.py used before — value and dx — so the call-site rewiring is
+    drop-in."""
+    from sam2unet_tpu.ops.pallas.fused_attention_block import (
+        fused_window_block,
+        fused_window_block_strips,
+    )
+    from sam2unet_tpu.ops.windowing import (
+        window_merge_valid,
+        window_partition_valid,
+    )
+
+    rng = np.random.default_rng(25)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+    b, hh, wd, c, nh, window = 2, 22, 22, 24, 2, 16
+    x, w, bq = mk(b, hh, wd, c), mk(c, 3 * c), mk(3 * c)
+    lns, lnb, wp, bp = mk(c) + 1, mk(c), mk(c, c), mk(c)
+
+    def via_strips(xx):
+        return fused_window_block_strips(
+            xx, w, bq, lns, lnb, wp, bp, num_heads=nh, window=window,
+            residual=True, weight_grads=False).sum()
+
+    def via_valid_groups(xx):
+        outs = []
+        for gwin, n_pad in window_partition_valid(xx, window):
+            nw_, gh, gw, cc = gwin.shape
+            o = fused_window_block(gwin.reshape(nw_, gh * gw, cc), w, bq,
+                                   lns, lnb, wp, bp, num_heads=nh,
+                                   n_pad=n_pad, residual=True,
+                                   weight_grads=False)
+            outs.append(o.reshape(nw_, gh, gw, cc))
+        return window_merge_valid(outs, b, hh, wd, window).sum()
+
+    v1, g1 = jax.value_and_grad(via_strips)(x)
+    v2, g2 = jax.value_and_grad(via_valid_groups)(x)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_win_pad_dims():
+    from sam2unet_tpu.ops.pallas.fused_attention_block import _win_pad_dims
+
+    assert _win_pad_dims(16) == (16, 16)
+    assert _win_pad_dims(8) == (8, 8)
+    assert _win_pad_dims(4) == (4, 4)
+    hp, wp = _win_pad_dims(14)
+    assert (hp, wp) >= (14, 14) and (hp * wp) % 16 == 0 and hp * wp == 224
+    hp, wp = _win_pad_dims(7)
+    assert (hp, wp) >= (7, 7) and (hp * wp) % 16 == 0 and hp * wp == 64
+
+
 def test_transition_kernel_forward_interpret():
     """The fused transition kernel (LN + shortcut Dense/pool + windowed
     qkv + in-window q-pool + attention + proj + residual, interpret mode)
