@@ -438,6 +438,7 @@ def _mlp_bwd_dx(x, g, w1, b1, w2, ln_scale, ln_bias, residual,
         out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, d), x.dtype),
+        input_output_aliases={1: 0},               # donate gy -> dx
         interpret=interpret,
     )(xf, gf, w1.astype(x.dtype), b1.reshape(1, -1).astype(x.dtype),
       # W2 passed as stored (hidden, d): the kernel contracts over d
@@ -576,6 +577,7 @@ def _adapter_bwd(x, g, w1, b1, w2, b2, residual, interpret=False):
             pltpu.VMEM((hidden, d), jnp.float32),
             pltpu.VMEM((1, d), jnp.float32),
         ],
+        input_output_aliases={1: 0},               # donate gy -> dx
         interpret=interpret,
     )(xf, gf, jnp.asarray(w1, x.dtype), b1.reshape(1, -1).astype(jnp.float32),
       jnp.asarray(w2, x.dtype), b2.reshape(1, -1).astype(jnp.float32))

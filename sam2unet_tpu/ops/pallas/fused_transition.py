@@ -495,6 +495,9 @@ def _transition_bwd_impl(x, g, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
             * x.dtype.itemsize,
             transcendentals=b * n_h * n_w * nh * sq * s,
         ),
+        # x (input 0) and dx share the identical block layout; gy's shape
+        # differs, so donate x instead (its last use is this recompute).
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(xr, gr, w3.astype(x.dtype), b3.astype(jnp.float32), ln,
       wp3.astype(x.dtype), w_short.astype(x.dtype),
