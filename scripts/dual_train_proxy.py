@@ -41,18 +41,27 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def make_data(n: int, size: int, seed: int):
-    """Deterministic disc-on-noise images + masks, already square
-    (letterbox-free so both data paths are bypassed identically)."""
+def make_data(n: int, size: int, seed: int, max_discs: int = 1):
+    """Deterministic disc(s)-on-noise images + masks, already square
+    (letterbox-free so both data paths are bypassed identically).
+    max_discs > 1 scatters several smaller discs per image so the
+    instance metrics (component matching, P/R/F1@{50,75}) operate on a
+    real population of components instead of one per image."""
     rng = np.random.default_rng(seed)
     imgs = np.empty((n, size, size, 3), np.float32)
     masks = np.empty((n, size, size, 1), np.float32)
     yy, xx = np.mgrid[:size, :size]
     for i in range(n):
         img = rng.random((size, size, 3)) * 255
-        cy, cx = rng.integers(size // 4, 3 * size // 4, 2)
-        rad = rng.integers(size // 8, size // 4)
-        m = ((yy - cy) ** 2 + (xx - cx) ** 2) < rad**2
+        m = np.zeros((size, size), bool)
+        for _ in range(int(rng.integers(1, max_discs + 1))):
+            cy, cx = rng.integers(size // 6, 5 * size // 6, 2)
+            # radii in the single-disc round-4 range (size//8..size//4):
+            # small enough for several components per image, large enough
+            # that the tiny proxy model actually learns them (smaller
+            # discs left it at mDice~0.14 — degenerate for a parity claim)
+            rad = int(rng.integers(size // 8, size // 4))
+            m |= ((yy - cy) ** 2 + (xx - cx) ** 2) < rad**2
         img[m] = img[m] * 0.25 + 190
         imgs[i] = img
         masks[i, ..., 0] = m
@@ -194,9 +203,9 @@ def evaluate(preds, y_te):
 
 
 def run_proxy(size=128, epochs=3, batch=4, n_train=16, n_test=8,
-              lr=1e-3, wd=5e-4, seed=0):
-    x_tr, y_tr = make_data(n_train, size, seed)
-    x_te, y_te = make_data(n_test, size, seed + 1)
+              lr=1e-3, wd=5e-4, seed=0, max_discs=1):
+    x_tr, y_tr = make_data(n_train, size, seed, max_discs)
+    x_te, y_te = make_data(n_test, size, seed + 1, max_discs)
     init_sd, t_losses, t_preds = train_torch(
         x_tr, y_tr, x_te, y_te, epochs, batch, lr, wd, seed
     )
@@ -209,29 +218,49 @@ def run_proxy(size=128, epochs=3, batch=4, n_train=16, n_test=8,
     }
 
 
+# Per-metric acceptance tolerances on the |torch - jax| delta. mDice/mIoU
+# inherit the BASELINE.json 0.003 gate; the instance rows (component
+# matching at IoU thresholds) are count-quantized — at the committed
+# operating point (~80 components over 24 images) one component flipping
+# across a threshold moves P/R/F1 by ~1/80, so the gate is 2 flips.
+TOLERANCES = {"mDice": 0.003, "mIoU": 0.003, "images_count": 0.0}
+_INSTANCE_TOL = 0.025
+
+
+def metric_tolerance(key: str) -> float:
+    return TOLERANCES.get(key, _INSTANCE_TOL)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--size", type=int, default=160)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--n_train", type=int, default=16)
-    ap.add_argument("--n_test", type=int, default=8)
+    ap.add_argument("--n_test", type=int, default=24)
+    ap.add_argument("--max_discs", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="docs/DUAL_TRAIN.md")
     args = ap.parse_args()
 
     res = run_proxy(args.size, args.epochs, args.batch, args.n_train,
-                    args.n_test, args.lr)
+                    args.n_test, args.lr, max_discs=args.max_discs)
     tr, jr = res["torch"]["report"], res["jax"]["report"]
     lines = [
         "# Dual-train accuracy proxy",
         "",
         "Identical init (one seeded torch init, converted), identical data",
-        f"({args.n_train} train / {args.n_test} test synthetic discs at "
-        f"{args.size}x{args.size}), identical schedule "
+        f"({args.n_train} train / {args.n_test} test synthetic multi-disc "
+        f"images at {args.size}x{args.size}, up to {args.max_discs} "
+        f"components each), identical schedule "
         f"(AdamW lr={args.lr}, wd 5e-4, per-epoch cosine, "
         f"{args.epochs} epochs, batch {args.batch}), no augmentation, CPU "
         "f32 both. Generated by `python scripts/dual_train_proxy.py`.",
+        "",
+        "Every metric row carries an explicit tolerance: 0.003 for "
+        "mDice/mIoU (the BASELINE.json gate) and 0.025 for the instance "
+        "precision/recall/F1 rows (count-quantized: two component flips "
+        "at the committed component population).",
         "",
         "| epoch | torch loss | jax loss | delta |",
         "|---|---|---|---|",
@@ -239,15 +268,24 @@ def main():
     for i, (a, b) in enumerate(zip(res["torch"]["losses"],
                                    res["jax"]["losses"])):
         lines.append(f"| {i + 1} | {a:.4f} | {b:.4f} | {abs(a - b):.4f} |")
-    lines += ["", "| metric | torch ref | this framework | delta |",
-              "|---|---|---|---|"]
+    lines += ["", "| metric | torch ref | this framework | delta | "
+              "tolerance | pass |", "|---|---|---|---|---|---|"]
+    failures = []
     for k in sorted(set(tr) | set(jr)):
         a, b = float(tr[k]), float(jr[k])
-        lines.append(f"| {k} | {a:.4f} | {b:.4f} | {abs(a - b):.4f} |")
+        tol = metric_tolerance(k)
+        ok = abs(a - b) <= tol
+        if not ok:
+            failures.append(k)
+        lines.append(f"| {k} | {a:.4f} | {b:.4f} | {abs(a - b):.4f} | "
+                     f"{tol:.3f} | {'yes' if ok else 'NO'} |")
     out = pathlib.Path(args.out)
     out.write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
     print(f"\nwritten to {out}")
+    if failures:
+        print(f"FAIL: outside tolerance: {failures}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
