@@ -23,6 +23,9 @@ import numpy as np
 from sam2unet_tpu.configs import HieraConfig
 from sam2unet_tpu.nn.layers import MLP, DropPath, gelu, layer_norm
 from sam2unet_tpu.ops.attention import sdpa
+from sam2unet_tpu.ops.pallas.fused_transition import (
+    transition_bwd_supported,
+)
 from sam2unet_tpu.ops.pooling import max_pool2d
 from sam2unet_tpu.ops.resize import resize
 from sam2unet_tpu.ops.windowing import window_partition, window_unpartition
@@ -230,18 +233,22 @@ class MultiScaleBlock(nn.Module):
             # fork's shipped operating points) take the remainder-strip
             # kernel when it engages: in-VMEM zero pads + alignment key
             # mask, no partition/merge HBM copies (docs/PERF.md round 5).
-            # Unfrozen training keeps the valid-group path (the rem kernel
-            # is dx-only); so do geometries past the VMEM gate.
+            # EVAL ONLY: under train the s@960 stage-3 backward lands in
+            # the serialized window-as-grid-axis regime and the step loses
+            # 1.4% vs the partitioned path (same-session A/B, docs/PERF.md
+            # R5-E1) — and the rem kernel is dx-only anyway, so unfrozen
+            # training never qualified. Geometries past the VMEM gate also
+            # fall back.
             rem_grid = window > 0 and (
                 h % window or w % window or (window * window) % 16)
             use_rem_strips = (
                 rem_grid
                 and not _dispatch.xla_only()
-                and (not train or self.frozen)
+                and not train
                 and strips_rem_supported(h, w, window, xd.shape[-1],
                                          self.num_heads,
                                          xd.dtype.itemsize,
-                                         bwd=train))
+                                         bwd=False))
             if rem_grid and not use_rem_strips and (h % window
                                                     or w % window):
                 # NOTE: a whole-grid masked single call (block-diagonal
@@ -300,7 +307,16 @@ class MultiScaleBlock(nn.Module):
             and (window * window) % 16 == 0
             and h % window == 0
             and w % window == 0
-            and (not train or (self.frozen and self.drop_path == 0.0))
+            # Under train, only take the fused transition where its Pallas
+            # dx backward actually fits VMEM: the jax.vjp(_xla_transition)
+            # fallback inside the custom_vjp materializes the transition's
+            # full-resolution intermediates at backward time, which
+            # overflowed HBM by 4 GB at s@960 stage 1->2 (round 5) — the
+            # unfused path's backward (XLA's own remat schedule) is the
+            # right train form there.
+            and (not train or (self.frozen and self.drop_path == 0.0
+                               and transition_bwd_supported(
+                                   window, self.dim_out, w, self.dim)))
         ):
             # q-pool transition on a divisible grid: one strip-I/O Pallas
             # program (LN + shortcut Dense/pool + windowed qkv + in-window

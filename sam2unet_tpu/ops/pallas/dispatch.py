@@ -26,3 +26,15 @@ def force_xla():
         yield
     finally:
         _FORCE_XLA.reset(token)
+
+
+def io_alias(mapping: dict) -> dict:
+    """input_output_aliases for the dx-only backward kernels, env-gated
+    (SAM2UNET_DISABLE_ALIAS=1 -> {}) so perf A/Bs can bisect the donation:
+    aliasing can INCREASE memory when XLA must insert a defensive copy of
+    a donated operand that is not provably dead."""
+    import os
+
+    if os.environ.get("SAM2UNET_DISABLE_ALIAS"):
+        return {}
+    return mapping

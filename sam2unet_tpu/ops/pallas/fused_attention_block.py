@@ -705,7 +705,7 @@ def _fused_window_block_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
         # shares dx's block spec: donate its HBM buffer so XLA drops the
         # separate dx allocation + the copy pair around the custom call
         # (grad-path bytes, docs/PERF.md round 5).
-        input_output_aliases={1: 0},
+        input_output_aliases=dispatch.io_alias({1: 0}),
         interpret=interpret,
     )(x, gy, w3.astype(x.dtype), b3.astype(f32), ln, wp3.astype(x.dtype),
       b_qkv.reshape(3, nh, d)[1:].transpose(1, 0, 2).astype(f32),
@@ -1105,7 +1105,7 @@ def _fused_strips_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
             pltpu.VMEM((gs, ws, wd, 1), f32),      # rsqrt(var)
             pltpu.VMEM((g, s, c), f32),            # dy accumulator
         ],
-        input_output_aliases={1: 0},               # donate gy -> dx
+        input_output_aliases=dispatch.io_alias({1: 0}),               # donate gy -> dx
         interpret=interpret,
     )(xr, gr, w3.astype(x.dtype), b3.astype(f32), ln, wp3.astype(x.dtype))
     return dx.reshape(b, hh, wd, c)
@@ -1486,17 +1486,37 @@ def strips_rem_supported(hh: int, wd: int, window: int, c: int,
                          num_heads: int, itemsize: int = 2,
                          bwd: bool = False) -> bool:
     """Whether the remainder-strip kernel engages for this geometry: the
-    minimal (gb=1) full-width strip block must fit the VMEM cap."""
+    minimal (gb=1) full-width strip block must fit the VMEM cap.
+    SAM2UNET_DISABLE_REM_STRIPS=1 forces the valid-group partitioned path
+    (the pre-round-5 behavior) for same-session perf A/Bs."""
+    import os
+
+    if os.environ.get("SAM2UNET_DISABLE_REM_STRIPS"):
+        return False
     if window <= 0:
         return False
     hp, wp = _win_pad_dims(window)
     s_tok = hp * wp
     d = c // num_heads
     n_w = -(-wd // window)
+    # Strip residency caps per-step MXU batching at gb*n_w windows (the
+    # whole strip's scratch stays live), while the valid-group partitioned
+    # path batches all same-shape windows of the whole batch into one
+    # kernel. Measured at hiera_l@352 (stage 3/4: n_w=2): rem strips LOSE
+    # 20%/17% (271.61/99.32 vs 337.98/119.63 img/s same-session,
+    # docs/PERF.md round 5) — small-n_w geometries belong to the
+    # partitioned path.
+    if n_w < 4:
+        return False
     resident, _ = _pick_layout(num_heads, c, d, itemsize)
     wb = _rem_weight_bytes(num_heads, c, d, itemsize, resident)
-    return _rem_vmem_est(1, n_w, s_tok, c, d, window, wd, itemsize, wb,
-                         bwd) <= _REM_VMEM_CAP
+    if _rem_vmem_est(1, n_w, s_tok, c, d, window, wd, itemsize, wb,
+                     bwd) <= _REM_VMEM_CAP:
+        return True
+    # the backward has a second regime: window-as-grid-axis (one window's
+    # transients live at a time) for strips too big to hold whole
+    return bwd and _rem_vmem_est_jw(n_w, s_tok, c, d, window, wd,
+                                    itemsize, wb) <= _REM_VMEM_CAP
 
 
 def _fused_strips_rem_fwd_impl(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
@@ -1589,6 +1609,15 @@ def _fused_strips_rem_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
     n_h = -(-hh // ws)
     n_w = -(-wd // ws)
     resident, _ = _pick_layout(nh_heads, c, d, x.dtype.itemsize)
+    wb = _rem_weight_bytes(nh_heads, c, d, x.dtype.itemsize, resident)
+    if _rem_vmem_est(1, n_w, s_tok, c, d, ws, wd, x.dtype.itemsize, wb,
+                     True) > _REM_VMEM_CAP:
+        # all-windows working set too big (s@960 stage 3): one window's
+        # transients per grid step instead
+        return _fused_strips_rem_bwd_jw_impl(x, gy, w_qkv, b_qkv, ln_scale,
+                                             ln_bias, w_proj, num_heads,
+                                             window, residual,
+                                             interpret=interpret)
     wg = n_w                                       # full-width strips
     gb = _pick_rem_gb(b, n_w, s_tok, c, d, ws, wd, x.dtype.itemsize,
                       nh_heads, resident, bwd=True)
@@ -1643,11 +1672,217 @@ def _fused_strips_rem_bwd_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
             pltpu.VMEM((gb, ws, wd, 1), f32),      # rsqrt(var)
             pltpu.VMEM((g, s_tok, c), f32),        # dy accumulator
         ],
-        input_output_aliases={1: 0},               # donate gy -> dx
+        input_output_aliases=dispatch.io_alias({1: 0}),               # donate gy -> dx
         interpret=interpret,
     )(x, gy, w3.astype(x.dtype), b3.astype(f32), ln, wp3.astype(x.dtype),
       km)
     return dx
+
+
+def _strip_rem_bwd_kernel_jw(x_ref, g_ref, w_ref, b_ref, ln_ref, wp_ref,
+                             km_ref, dx_ref,
+                             y_buf, gy_buf, mu_buf, r_buf, dy_acc,
+                             *, nh: int, ws: int, wg: int, hp: int,
+                             wp_: int, hh: int, scale: float,
+                             residual: bool, resident: bool):
+    """dx-only rem backward with the WINDOW as a grid axis: only one
+    window's attention transients are live per step, so strips whose
+    all-windows working set exceeds VMEM (hiera_s@960 stage 3: 5 windows
+    of S=224 -> 17 MiB monolithic) still run fused. The full-strip
+    scratch (y/gy in window order, LN stats, the dy accumulator)
+    persists across the (j, h) steps of a strip; gb is pinned to 1."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    h = pl.program_id(3)
+    hw = h if resident else 0
+    x = x_ref[:]                                   # (1, ws, wd, c)
+    gy = g_ref[:]
+    gb, _, wcols, c = x.shape
+    s = hp * wp_
+    vh = jnp.minimum(ws, hh - i * ws)
+    vw = wcols
+
+    @pl.when((j == 0) & (h == 0))
+    def _():
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        r = jax.lax.rsqrt(var + _LN_EPS)
+        y = (xf - mu) * r
+        y = y * ln_ref[0].astype(jnp.float32) + ln_ref[1].astype(jnp.float32)
+        ok = _rem_valid_mask(vh, vw, ws, wcols)
+        y = jnp.where(ok, y, 0.0).astype(x.dtype)
+        y_buf[:] = _rem_window_order(y, gb, ws, wg, hp, wp_, c)
+        gz = jnp.where(ok, gy.astype(jnp.float32), 0.0).astype(x.dtype)
+        gy_buf[:] = _rem_window_order(gz, gb, ws, wg, hp, wp_, c)
+        mu_buf[:] = mu
+        r_buf[:] = r
+
+    # ---- forward recompute, window j, head h ----
+    w3h = w_ref[hw]
+    yj = y_buf[j]                                  # (s, c)
+    qkv = jax.lax.dot_general(
+        yj, w3h, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + b_ref[hw].astype(jnp.float32)).astype(x.dtype)
+    d = qkv.shape[-1] // 3
+    q = qkv[:, :d]
+    k = qkv[:, d : 2 * d]
+    v = qkv[:, 2 * d :]
+    sc = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    sc = sc + km_ref[:]                            # (1, s) over rows
+    m = jnp.max(sc, axis=-1, keepdims=True)
+    e = jnp.exp(sc - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    # ---- backward, window j, head h ----
+    gj = gy_buf[j]                                 # (s, c)
+    do = jax.lax.dot_general(
+        gj, wp_ref[hw], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)                              # (s, d)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale).astype(
+        x.dtype
+    )
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv = jax.lax.dot_general(
+        p.astype(x.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dqf = dq.astype(x.dtype)
+    dkf = dk.astype(x.dtype)
+    dvf = dv.astype(x.dtype)
+
+    def dotT(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dy_h = (dotT(dqf, w3h[:, :d]) + dotT(dkf, w3h[:, d : 2 * d])
+            + dotT(dvf, w3h[:, 2 * d :]))          # (s, c)
+
+    @pl.when(h == 0)
+    def _():
+        dy_acc[j] = dy_h
+
+    @pl.when(h > 0)
+    def _():
+        dy_acc[j] = dy_acc[j] + dy_h
+
+    @pl.when((j == wg - 1) & (h == nh - 1))
+    def _():
+        dy = _rem_strip_order(dy_acc[:], gb, ws, wg, hp, wp_, c, wcols)
+        ok = _rem_valid_mask(vh, vw, ws, wcols)
+        dy = jnp.where(ok, dy, 0.0)
+        xf = x.astype(jnp.float32)
+        r = r_buf[:]
+        xhat = (xf - mu_buf[:]) * r
+        dxhat = dy * ln_ref[0].astype(jnp.float32)
+        mean1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mean2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = r * (dxhat - mean1 - xhat * mean2)
+        if residual:
+            dx = dx + gy.astype(jnp.float32)
+        dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _fused_strips_rem_bwd_jw_impl(x, gy, w_qkv, b_qkv, ln_scale, ln_bias,
+                                  w_proj, num_heads, window, residual,
+                                  interpret=False):
+    b, hh, wd, c = x.shape
+    nh_heads = num_heads
+    d = c // nh_heads
+    ws = window
+    hp, wp = _win_pad_dims(ws)
+    s_tok = hp * wp
+    n_h = -(-hh // ws)
+    n_w = -(-wd // ws)
+    resident, _ = _pick_layout(nh_heads, c, d, x.dtype.itemsize)
+    w3 = w_qkv.reshape(c, 3, nh_heads, d).transpose(2, 0, 1, 3).reshape(
+        nh_heads, c, 3 * d)
+    b3 = b_qkv.reshape(3, nh_heads, d).transpose(1, 0, 2).reshape(
+        nh_heads, 1, 3 * d)
+    wp3 = w_proj.reshape(nh_heads, d, c)
+    ln = jnp.stack([jnp.asarray(ln_scale, x.dtype),
+                    jnp.asarray(ln_bias, x.dtype)])
+    km = jnp.asarray(_rem_key_mask(n_w, ws, hp, wp))
+    f32 = jnp.float32
+
+    def wspec(*dims):
+        if resident:
+            return pl.BlockSpec((nh_heads, *dims),
+                                lambda ib, i, j, h: (0,) * (len(dims) + 1),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, *dims),
+                            lambda ib, i, j, h: (h,) + (0,) * len(dims),
+                            memory_space=pltpu.VMEM)
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda ib, i, j, h: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    xspec = pl.BlockSpec((1, ws, wd, c),
+                         lambda ib, i, j, h: (ib, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dx = pl.pallas_call(
+        functools.partial(_strip_rem_bwd_kernel_jw, nh=nh_heads, ws=ws,
+                          wg=n_w, hp=hp, wp_=wp, hh=hh,
+                          scale=1.0 / math.sqrt(d), residual=residual,
+                          resident=resident),
+        grid=(b, n_h, n_w, nh_heads),
+        in_specs=[
+            xspec,
+            xspec,
+            wspec(c, 3 * d),
+            wspec(1, 3 * d),
+            cspec((2, c)),
+            wspec(d, c),
+            cspec(km.shape),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_w, s_tok, c), x.dtype),  # y (window order)
+            pltpu.VMEM((n_w, s_tok, c), x.dtype),  # gy (window order)
+            pltpu.VMEM((1, ws, wd, 1), f32),       # mu (strip order)
+            pltpu.VMEM((1, ws, wd, 1), f32),       # rsqrt(var)
+            pltpu.VMEM((n_w, s_tok, c), f32),      # dy accumulator
+        ],
+        input_output_aliases=dispatch.io_alias({1: 0}),               # donate gy -> dx
+        interpret=interpret,
+    )(x, gy, w3.astype(x.dtype), b3.astype(f32), ln, wp3.astype(x.dtype),
+      km)
+    return dx
+
+
+def _rem_vmem_est_jw(n_w: int, s: int, c: int, d: int, ws: int, wd: int,
+                     itemsize: int, wbytes: int) -> int:
+    """Live-VMEM estimate for one jw-variant grid step (gb = 1): the
+    full-strip scratch plus ONE window's transients."""
+    est = n_w * s * c * (2 * itemsize + 4)         # y_buf + gy_buf + dy_acc
+    est += s * 3 * d * (4 + itemsize)              # qkv f32 + cast
+    est += s * s * (12 + itemsize)                 # sc/e f32 + dp + p
+    est += 3 * s * d * (4 + itemsize)              # dq/dk/dv + casts
+    est += s * c * 4                               # dy_h
+    est += 2 * 3 * ws * wd * c * itemsize          # x/gy/dx double-buffered
+    est += 2 * ws * _rup(wd, 128) * 4              # mu/r (lane-padded)
+    return est + wbytes
 
 
 def _strips_fwd(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,

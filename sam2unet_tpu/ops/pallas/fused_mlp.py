@@ -407,8 +407,17 @@ def _mlp_bwd_dx(x, g, w1, b1, w2, ln_scale, ln_bias, residual,
         n *= s
     xf = x.reshape(n, d)
     gf = g.reshape(n, d)
-    # smaller tile than forward: three (T, hidden) fp32 values live at once
+    # smaller tile than forward: three (T, hidden) fp32 values live at
+    # once. At c=768/hidden=3072 (hiera_s stage 4) the weight stacks are
+    # 9.4 MB and tile 128 overflows Mosaic's 16 MB scoped-vmem stack
+    # (measured: 16.75M with the gy->dx alias) — shrink the tile until
+    # weights + fp32 temporaries + IO blocks fit.
     tile = 128
+    wbytes = 2 * d * hidden * x.dtype.itemsize
+    while tile > 32 and (wbytes + 3 * tile * hidden * 4
+                         + 6 * tile * d * x.dtype.itemsize
+                         > 14 * 1024 * 1024):
+        tile //= 2
     pad = (-n) % tile
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
@@ -438,7 +447,7 @@ def _mlp_bwd_dx(x, g, w1, b1, w2, ln_scale, ln_bias, residual,
         out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, d), x.dtype),
-        input_output_aliases={1: 0},               # donate gy -> dx
+        input_output_aliases=dispatch.io_alias({1: 0}),               # donate gy -> dx
         interpret=interpret,
     )(xf, gf, w1.astype(x.dtype), b1.reshape(1, -1).astype(x.dtype),
       # W2 passed as stored (hidden, d): the kernel contracts over d
@@ -577,7 +586,7 @@ def _adapter_bwd(x, g, w1, b1, w2, b2, residual, interpret=False):
             pltpu.VMEM((hidden, d), jnp.float32),
             pltpu.VMEM((1, d), jnp.float32),
         ],
-        input_output_aliases={1: 0},               # donate gy -> dx
+        input_output_aliases=dispatch.io_alias({1: 0}),               # donate gy -> dx
         interpret=interpret,
     )(xf, gf, jnp.asarray(w1, x.dtype), b1.reshape(1, -1).astype(jnp.float32),
       jnp.asarray(w2, x.dtype), b2.reshape(1, -1).astype(jnp.float32))

@@ -196,6 +196,29 @@ def _fused_transition_vjp(x, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
                                       num_heads, window)
 
 
+def transition_bwd_supported(window: int, cout: int, wd: int,
+                             cin: int) -> bool:
+    """Whether the dx-only Pallas backward fits VMEM for this geometry
+    (strip-level estimate; see _tr_bwd). hiera.py consults this under
+    TRAIN before taking the fused transition at all: when the Pallas
+    backward cannot run, the jax.vjp(_xla_transition) fallback
+    materializes the full-resolution transition intermediates at backward
+    time — at s@960 stage 1->2 that overflowed HBM by 4 GB — so the
+    unfused path (whose backward XLA schedules with its usual remat) is
+    the correct train form there."""
+    import os
+
+    if os.environ.get("SAM2UNET_DISABLE_TRANSITION_BWD"):
+        return False                               # perf-bisect switch
+    s = window * window
+    if s % 16:
+        return False
+    n_w = wd // window
+    strip_live = (n_w * (8 * s * s + 22 * s * cout)
+                  + 4 * window * wd * cin)
+    return strip_live <= 8 * 1024 * 1024
+
+
 def _pick_strips(n_strips: int, per_strip_bytes: int,
                  live_budget: int) -> int:
     gs = max(1, min(n_strips, live_budget // max(per_strip_bytes, 1), 64))
@@ -495,9 +518,10 @@ def _transition_bwd_impl(x, g, w_qkv, b_qkv, ln_scale, ln_bias, w_proj,
             * x.dtype.itemsize,
             transcendentals=b * n_h * n_w * nh * sq * s,
         ),
-        # x (input 0) and dx share the identical block layout; gy's shape
-        # differs, so donate x instead (its last use is this recompute).
-        input_output_aliases={0: 0},
+        # NO input_output_aliases here: donating x -> dx raised Mosaic's
+        # scoped-vmem stack to 17.22M (> 16M) at the @960 stage-1->2
+        # geometry — this kernel's strip budget already rides the limit,
+        # and the alias bought no measurable time at l@352 (round 5 A/B).
         interpret=interpret,
     )(xr, gr, w3.astype(x.dtype), b3.astype(jnp.float32), ln,
       wp3.astype(x.dtype), w_short.astype(x.dtype),
@@ -525,14 +549,19 @@ def _tr_bwd(num_heads, window, weight_grads, res, g):
         # XLA-recompute backward re-materialized the full-resolution
         # qkv/LN tensors the unfused forward would have saved, measured
         # -1.5%; see docs/PERF.md round 4 E2/E6).
-        s = window * window
+        # STRIP-level gate (transition_bwd_supported): the backward
+        # kernel holds ALL n_w windows of a full-width strip at once
+        # (scores, dq/dk/dv, the f32 dxn accumulator), so the old
+        # per-window figure had to scale by n_w plus the strip IO
+        # blocks — it let the @960 stage-1->2 geometry (n_w=30) through
+        # and Mosaic's scoped-vmem stack hit 17.22M (>16M).
         cout = w_proj.shape[-1]
-        window_live = 8 * s * s + 22 * s * cout
         zeros = [jnp.zeros_like(t) for t in
                  (w_qkv, b_qkv, ln_scale, ln_bias, w_proj, b_proj,
                   w_short, b_short)]
-        if not (dispatch.xla_only() or window_live > 12 * 1024 * 1024
-                or s % 16):
+        if not (dispatch.xla_only()
+                or not transition_bwd_supported(window, cout, x.shape[2],
+                                                x.shape[3])):
             dx = _transition_bwd_impl(x, g, w_qkv, b_qkv, ln_scale,
                                       ln_bias, w_proj, w_short, b_short,
                                       num_heads, window)

@@ -622,6 +622,36 @@ def test_rem_strip_kernel_backward_interpret():
     run(2, 12, 18, 24, 2, 5, residual=False)
 
 
+def test_rem_strip_bwd_jw_variant_interpret():
+    """The window-as-grid-axis rem backward (the regime for strips whose
+    all-windows working set exceeds VMEM — s@960 stage 3) == jax.vjp of
+    the padded-window XLA reference, incl. at the true 60x60/w14 grid
+    shape (channel count reduced for interpret speed)."""
+    import sam2unet_tpu.ops.pallas.fused_attention_block as fab
+
+    rng = np.random.default_rng(26)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.float32)
+
+    def run(b, hh, wd, c, nh, window, residual=True):
+        x, w, bq = mk(b, hh, wd, c), mk(c, 3 * c), mk(3 * c)
+        lns, lnb, wp, bp = mk(c) + 1, mk(c), mk(c, c), mk(c)
+        g = mk(b, hh, wd, c)
+        got = fab._fused_strips_rem_bwd_jw_impl(x, g, w, bq, lns, lnb, wp,
+                                                nh, window, residual,
+                                                interpret=True)
+        want = jax.vjp(
+            lambda xx: fab._xla_strips_rem(xx, w, bq, lns, lnb, wp, bp, nh,
+                                           window, residual),
+            x,
+        )[1](g)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    run(1, 60, 60, 16, 2, 14)              # s@960 stage-3 grid shape
+    run(2, 22, 22, 24, 2, 16)
+    run(1, 12, 18, 24, 2, 5, residual=False)
+
+
 def test_rem_strip_through_custom_vjp_matches_valid_groups():
     """fused_window_block_strips on a remainder grid through the public
     custom_vjp (CPU XLA dispatch) == the valid-group partitioned path
