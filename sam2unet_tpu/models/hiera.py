@@ -142,8 +142,16 @@ class MultiScaleBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, train: bool = False):
         from sam2unet_tpu.nn.layers import LNParams
+        from sam2unet_tpu.ops.grouped import GroupedTokens
+
+        if isinstance(x, GroupedTokens):
+            # persistent valid-group token layout (ops/grouped.py): the
+            # Hiera loop partitioned once for this whole run of
+            # dim-preserving blocks; consume and produce GroupedTokens so
+            # the per-block partition/merge HBM copies never happen.
+            return self._grouped_call(x, train)
 
         attn = MultiScaleAttention(
             self.dim, self.dim_out, self.num_heads, self.q_stride,
@@ -404,6 +412,59 @@ class MultiScaleBlock(nn.Module):
         )(y)
         return x + dp(y, train)
 
+    def _grouped_call(self, x, train: bool):
+        """Dim-preserving block over GroupedTokens: the window groups are
+        already in kernel layout, so the attention runs one fused kernel
+        per group with ZERO partition/merge traffic; a global block
+        (window_size == 0) concatenates the token axis (permutation-
+        equivariant) and splits it back; the MLP tail is per-token.
+        Registers exactly the same param leaves as the dense path."""
+        from sam2unet_tpu.nn.layers import LNParams, MLPParams
+        from sam2unet_tpu.ops.pallas.fused_attention_block import (
+            fused_window_block,
+        )
+        from sam2unet_tpu.ops.pallas.fused_mlp import fused_mlp
+
+        assert self.dim == self.dim_out and self.q_stride is None
+        # the Hiera loop only groups where the residual fuses (no active
+        # DropPath): a (B*nW, S, C) batch dim would make DropPath drop
+        # per-window instead of per-sample
+        assert not (train and self.drop_path > 0.0)
+        attn = MultiScaleAttention(
+            self.dim, self.dim_out, self.num_heads, None, self.dtype,
+            name="attn",
+        )
+        ln1 = LNParams(self.dim, name="norm1")
+        wargs = (attn.qkv.kernel, attn.qkv.bias, ln1.scale, ln1.bias,
+                 attn.proj.kernel, attn.proj.bias)
+        if self.frozen:
+            wargs = tuple(jax.lax.stop_gradient(t) for t in wargs)
+        kargs = dict(num_heads=self.num_heads, residual=True,
+                     weight_grads=not self.frozen)
+        if self.window_size == 0:
+            o = fused_window_block(
+                x.concat_tokens().astype(self.dtype), *wargs, **kargs)
+            x = x.split_tokens(o)
+        else:
+            x = x.with_groups([
+                fused_window_block(g.astype(self.dtype), *wargs,
+                                   n_pad=np_, **kargs)
+                for g, np_ in zip(x.groups, x.n_pads)
+            ])
+        hidden = int(self.dim_out * self.mlp_ratio)
+        ln = LNParams(self.dim_out, name="norm2")
+        mp = MLPParams(self.dim_out, hidden, self.dim_out, name="mlp")
+        margs = (mp.layers_0.kernel, mp.layers_0.bias,
+                 mp.layers_1.kernel, mp.layers_1.bias, ln.scale, ln.bias)
+        if self.frozen:
+            margs = tuple(jax.lax.stop_gradient(t) for t in margs)
+        return x.with_groups([
+            fused_mlp(g.astype(self.dtype), *margs[:4], ln_scale=margs[4],
+                      ln_bias=margs[5], residual=True,
+                      weight_grads=not self.frozen)
+            for g in x.groups
+        ])
+
 
 class AdapterBlock(nn.Module):
     """PEFT wrapper: x + prompt_learn(x) fed to the frozen block
@@ -414,8 +475,9 @@ class AdapterBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, train: bool = False):
         from sam2unet_tpu.nn.layers import SequentialMLPParams
+        from sam2unet_tpu.ops.grouped import GroupedTokens
         from sam2unet_tpu.ops.pallas.fused_mlp import fused_mlp
 
         dim = self.block_kwargs["dim"]
@@ -425,15 +487,54 @@ class AdapterBlock(nn.Module):
         # the post-mega-kernel HLO byte attribution (docs/PERF.md)
         p = SequentialMLPParams(dim, (self.adapter_dim, dim),
                                 name="prompt_learn")
-        xa = fused_mlp(
-            x.astype(self.dtype),
-            p.layers_0.kernel, p.layers_0.bias,
-            p.layers_2.kernel, p.layers_2.bias,
-            residual=True, gelu_out=True,
-        )
+        pargs = (p.layers_0.kernel, p.layers_0.bias,
+                 p.layers_2.kernel, p.layers_2.bias)
+        if isinstance(x, GroupedTokens):
+            # the adapter is per-token: apply it to each window group in
+            # place, keeping the persistent group layout (ops/grouped.py)
+            xa = x.with_groups([
+                fused_mlp(g.astype(self.dtype), *pargs,
+                          residual=True, gelu_out=True)
+                for g in x.groups
+            ])
+        else:
+            xa = fused_mlp(
+                x.astype(self.dtype), *pargs, residual=True, gelu_out=True,
+            )
         return MultiScaleBlock(**self.block_kwargs, dtype=self.dtype, name="block")(
             xa, train
         )
+
+
+def _groupable_block(bk: dict, h: int, w: int, itemsize: int,
+                     train: bool) -> bool:
+    """Can this block run on the persistent GroupedTokens layout?
+
+    True exactly where the dense path would take the per-block
+    valid-group partitioned path (or a plain padded partition), i.e.
+    where partition/merge HBM copies exist to be hoisted: dim-preserving,
+    residual fusable, and a window geometry the strip kernels do NOT
+    already handle I/O-free. Global-attention blocks (window 0) are
+    token-permutation-equivariant and join any run."""
+    if bk["dim"] != bk["dim_out"] or bk["q_stride"] is not None:
+        return False
+    if train and bk["drop_path"] > 0.0:
+        return False  # DropPath needs the per-sample batch dim
+    window = bk["window_size"]
+    if window == 0:
+        return True
+    if h % window == 0 and w % window == 0 and (window * window) % 16 == 0:
+        return False  # divisible 16-aligned grids: strip kernels win
+    from sam2unet_tpu.ops.pallas import dispatch as _dispatch
+    from sam2unet_tpu.ops.pallas.fused_attention_block import (
+        strips_rem_supported,
+    )
+
+    if (not _dispatch.xla_only() and not train
+            and strips_rem_supported(h, w, window, bk["dim"],
+                                     bk["num_heads"], itemsize, bwd=False)):
+        return False  # rem-strip kernels win this geometry (R5-E1)
+    return True
 
 
 def _block_plan(cfg: HieraConfig) -> list[dict]:
@@ -507,10 +608,35 @@ class Hiera(nn.Module):
         x = x + pe
 
         outputs = []
+        # Persistent grouped-token layout (ops/grouped.py): across a run
+        # of consecutive dim-preserving blocks at a remainder window
+        # geometry, partition into valid window groups ONCE and merge
+        # ONCE — instead of per block, fwd and bwd (docs/PERF.md R5-E4).
+        # Kill switch SAM2UNET_DISABLE_GROUPED=1 restores per-block
+        # partitioning for A/B.
+        import os
+
+        from sam2unet_tpu.ops.grouped import GroupedTokens
+
+        grouping_on = (
+            self.sp_axis is None
+            and not os.environ.get("SAM2UNET_DISABLE_GROUPED")
+        )
+        itemsize = jnp.dtype(self.dtype).itemsize
         for i, bk in enumerate(_block_plan(cfg)):
             if self.sp_axis is not None and bk["window_size"] == 0:
                 bk = dict(**bk, sp_axis=self.sp_axis,
                           sp_degree=self.sp_degree)
+            grouped = isinstance(x, GroupedTokens)
+            h_, w_ = (x.h, x.w) if grouped else (x.shape[1], x.shape[2])
+            g_ok = grouping_on and _groupable_block(bk, h_, w_, itemsize,
+                                                    train)
+            if grouped and not (
+                g_ok and bk["window_size"] in (0, x.window)
+            ):
+                x = x.to_dense()
+            elif not grouped and g_ok and bk["window_size"] > 0:
+                x = GroupedTokens.from_dense(x, bk["window_size"])
             if self.use_adapters:
                 # adapters imply the fork's hard trunk freeze
                 # (SAM2UNet.py:52-65): block weights get stop_gradient and
@@ -526,6 +652,8 @@ class Hiera(nn.Module):
                 block_cls = nn.remat(block_cls, static_argnums=(2,))
             x = block_cls(**kwargs)(x, train)
             if i in cfg.stage_ends:
+                if isinstance(x, GroupedTokens):
+                    x = x.to_dense()
                 outputs.append(x)
         return outputs
 

@@ -272,6 +272,9 @@ def main() -> None:
     p.add_argument("--measure_bw", action="store_true",
                    help="measure the achievable stream bandwidth on the "
                         "device and use it for the budget arithmetic")
+    p.add_argument("--dump_hlo", default="",
+                   help="write the optimized HLO text to this path (for "
+                        "tracing individual writers back to their source)")
     args = p.parse_args()
 
     from sam2unet_tpu.utils.jax_setup import setup_jax
@@ -285,6 +288,9 @@ def main() -> None:
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
     hlo_text = compiled.as_text()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(hlo_text)
     bytes_total = float(ca.get("bytes accessed", 0.0)) / steps
     pallas_io = pallas_io_bytes(hlo_text) / steps
     bytes_incl = bytes_total + pallas_io
